@@ -1,0 +1,172 @@
+"""Quantization tap context threaded through model forward passes.
+
+The reference intercepts layer outputs by globally monkeypatching the
+torch.nn layer classes (inference_quantization_manager.py:518-533).  Here the
+model's __call__ takes an explicit ``TapContext``; each layer calls
+``ctx.tap(out, site)`` on its output.  During a single jit trace the context
+either:
+  * OFF      — returns the tensor unchanged,
+  * COLLECT  — computes calibration statistics of the tensor and records the
+               traced values (returned as an auxiliary output pytree),
+  * QUANTIZE — applies the per-tag fake-quant policy (optionally using a
+               calibration-stats pytree) and records aux metrics (entropy).
+
+A fresh context is created per traced call, so contexts are cheap and never
+shared across traces; the mutable dicts are trace-time accumulators, the
+standard JAX pattern for auxiliary outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+
+from ..ops.quantizer import QuantConfig, quantize_activation
+from ..ops.stats import act_stats, act_stats_per_channel
+from ..ops import bias_corr
+from .policy import QuantPolicy
+
+# Statistics collected per site by the per-tensor manager
+# (statistic_manager.py:16, minus the error/kld columns).
+PER_TENSOR_STATS = ('max', 'min', 'std', 'mean', 'kurtosis', 'mean_abs', 'b')
+# Per-channel manager stats (statistic_manager_perchannel.py:18).
+PER_CHANNEL_STATS = ('max', 'min', 'std', 'mean', 'kurtosis', 'b', 'std_pos')
+
+
+@dataclasses.dataclass(frozen=True)
+class Site:
+    """Static description of one quantization site (a layer output)."""
+    id: str                      # e.g. 'conv12_activation', 'maxpool0_out'
+    tag: str                     # policy tag, e.g. 'activation'
+    half_range: bool = False     # the reference's before_relu marking
+    kind: str = 'conv'           # conv | linear | bn | maxpool | avgpool
+
+
+class TapContext:
+    """Base: quantization disabled."""
+
+    mode = 'off'
+
+    def tap(self, x, site: Site):
+        return x
+
+    def finalize(self) -> dict[str, Any]:
+        return {}
+
+
+class CollectContext(TapContext):
+    """Collect calibration statistics (reference StatsMode.collect_stats).
+
+    Statistics are emitted as traced arrays in ``collected[site_id][stat]``;
+    the caller aggregates them across batches (see calib.calibrator).
+    ``per_channel=True`` mirrors StatisticManagerPerChannel: 4-D spatial
+    tensors only, stats per channel; scalar stats are always collected too
+    (the reference instantiates *both* managers in per-channel mode —
+    inference_quantization_manager.py:307-315 only registers the per-channel
+    one at collect time, but per-tensor summaries feed per-tensor sites).
+    """
+
+    mode = 'collect'
+
+    def __init__(self, *, per_channel: bool, batch_avg: bool = False,
+                 channel_axis: int = -1):
+        self.per_channel = per_channel
+        self.batch_avg = batch_avg
+        self.channel_axis = channel_axis
+        self.collected: dict[str, dict[str, jnp.ndarray]] = {}
+
+    def tap(self, x, site: Site):
+        force_global = 'classifier' in site.tag
+        entry: dict[str, jnp.ndarray] = {}
+        xf = jnp.asarray(x, jnp.float32)
+        # per-tensor stats (statistic_manager.py:47-124); min/max optionally
+        # batch-averaged, never for classifier sites
+        pt = act_stats(xf, [s for s in PER_TENSOR_STATS if s not in ('min', 'max')])
+        mm = act_stats(xf, ['min', 'max'],
+                       avg_over_batch=self.batch_avg and not force_global)
+        entry.update({f'scalar/{k}': v for k, v in {**pt, **mm}.items()})
+
+        if self.per_channel and xf.ndim == 4 and _spatial(xf, self.channel_axis):
+            pc = act_stats_per_channel(
+                xf, [s for s in PER_CHANNEL_STATS if s not in ('min', 'max')],
+                channel_axis=self.channel_axis)
+            if self.batch_avg and not force_global:
+                pcm = act_stats_per_channel(xf, ['min', 'max'],
+                                            channel_axis=self.channel_axis,
+                                            avg_over_batch=True)
+            else:
+                pcm = act_stats_per_channel(xf, ['min', 'max'],
+                                            channel_axis=self.channel_axis)
+            pc.update(pcm)
+            entry.update({f'channel/{k}': v for k, v in pc.items()})
+
+        self.collected[site.id] = entry
+        return x
+
+    def finalize(self):
+        return dict(self.collected)
+
+
+class QuantizeContext(TapContext):
+    """Apply the fake-quant policy at every site (StatsMode.no_stats /
+    use_stats depending on whether ``stats`` is provided)."""
+
+    mode = 'quantize'
+
+    def __init__(self, policy: QuantPolicy,
+                 stats: Mapping[str, Mapping[str, Any]] | None = None,
+                 ignore_ids: tuple[str, ...] = (),
+                 channel_axis: int = -1):
+        self.policy = policy
+        self.configs = policy.tag_configs()
+        self.stats = stats
+        self.ignore_ids = frozenset(ignore_ids) | frozenset(policy.default_ignore_ids())
+        self.channel_axis = channel_axis
+        self.aux: dict[str, Any] = {}
+
+    def config_for(self, site: Site) -> QuantConfig | None:
+        tag = 'ignored' if site.id in self.ignore_ids else site.tag
+        return self.configs.get(tag)
+
+    def site_stats(self, site: Site, cfg: QuantConfig):
+        if self.stats is None or site.id not in self.stats:
+            return None
+        entry = self.stats[site.id]
+        space = 'channel' if cfg.stats_per_channel else 'scalar'
+        out = {k[len(space) + 1:]: v for k, v in entry.items()
+               if k.startswith(space + '/')}
+        # per-channel manager has no entry for FC/1x1 sites -> fall back to scalar
+        if not out:
+            out = {k[len('scalar/'):]: v for k, v in entry.items()
+                   if k.startswith('scalar/')}
+        return out or None
+
+    def tap(self, x, site: Site):
+        cfg = self.config_for(site)
+        if cfg is None or self.policy.qtype is None:
+            return x
+        stats = self.site_stats(site, cfg)
+        out_q, aux = quantize_activation(
+            x, cfg, half_range=site.half_range, site_stats=stats,
+            channel_axis=self.channel_axis, tag=site.tag)
+        if 'entropy' in aux:
+            self.aux[f'{site.id}/entropy'] = aux['entropy']
+            self.aux[f'{site.id}/numel'] = x.size
+        if cfg.bcorr_act and stats is not None and site.kind == 'conv':
+            # activation bias correction needs the float tensor; the reference
+            # applies it only in use-stats mode on conv outputs
+            # (inference_quantization_manager.py:180-203)
+            out_q = bias_corr.activation_bias_correction(
+                x, out_q, channel_axis=self.channel_axis,
+                pre_relu=site.half_range or cfg.force_positive)
+        return out_q.astype(x.dtype)
+
+    def finalize(self):
+        return dict(self.aux)
+
+
+def _spatial(x, channel_axis):
+    sp = [x.shape[i] for i in range(1, 4) if i != channel_axis % 4]
+    return sp[0] > 1 or sp[1] > 1

@@ -1,0 +1,158 @@
+"""QuantEngine: orchestrates weight quantization and quantized forward passes.
+
+The TPU-native replacement for the reference's
+``QuantizationManagerInference`` (reference: pytorch_quantizer/quantization/
+inference/inference_quantization_manager.py:286-393): instead of a singleton
+mutating a live torch model, the engine is a thin immutable object that
+  * transforms a parameter pytree into its quantized form
+    (``quantize_params`` == the reference's ``quantize_model`` pass), and
+  * builds jitted step functions closing over the policy (``eval_step``,
+    ``collect_step``).
+
+"reload" sweeps (quantization_manager.py:34-37) are just: build a new engine
+with a new policy and jit again — weights stay whatever pytree you pass in,
+matching the reference's weights-stay-quantized reload semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import bias_corr
+from ..ops.quantizer import quantize_weight
+from .context import CollectContext, QuantizeContext, TapContext
+from .policy import QuantPolicy
+
+
+def iter_weight_leaves(params: Mapping[str, Any], prefix: str = ''):
+    """Yield (path, subtree) for every param dict holding a 'kernel'."""
+    for name, sub in params.items():
+        path = f'{prefix}/{name}' if prefix else name
+        if isinstance(sub, Mapping):
+            if 'kernel' in sub:
+                yield path, sub
+            else:
+                yield from iter_weight_leaves(sub, path)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelMeta:
+    """Static per-architecture facts the engine needs."""
+    arch: str
+    fold_bn: bool = True
+    input_size: int = 224
+    # module paths whose weights stay 8-bit by name (inception stem,
+    # inference_quantization_manager.py:360-362)
+    eight_bit_weight_names: tuple[str, ...] = ()
+
+
+class QuantEngine:
+    def __init__(self, model, policy: QuantPolicy, meta: ModelMeta,
+                 stats: Mapping[str, Any] | None = None,
+                 ignore_ids: tuple[str, ...] = ()):
+        self.model = model
+        self.policy = policy
+        self.meta = meta
+        self.stats = stats
+        self.ignore_ids = tuple(ignore_ids)
+
+    # ------------------------------------------------------------------
+    # Weight quantization pass (reference quantize_model, i_q_m.py:352-393)
+    # ------------------------------------------------------------------
+    def quantize_params(self, params):
+        """One jitted pytree->pytree pass (the whole weight-quantization
+        sweep compiles into a single XLA program)."""
+        configs = self.policy.tag_configs()
+        if not configs:
+            return params
+        return jax.jit(self._quantize_params_impl)(params)
+
+    def _quantize_params_impl(self, params):
+        configs = self.policy.tag_configs()
+
+        def transform(path, leaf):
+            kernel = leaf['kernel']
+            is_conv = kernel.ndim == 4
+            out_ch = kernel.shape[-1]
+            if is_conv:
+                tag = 'weight'
+                cfg = configs[tag]
+                if cfg is not None:
+                    in_ch = kernel.shape[2]
+                    name8 = any(n in path for n in self.meta.eight_bit_weight_names)
+                    if in_ch == 3 or name8:
+                        # first layer / inception stem stay 8-bit
+                        cfg = dataclasses.replace(cfg, num_bits=8)
+            else:
+                tag = 'weight_classifier' if out_ch == 1000 else 'weight'
+                cfg = configs[tag]
+            if cfg is None:
+                return leaf
+            w_q, _ = quantize_weight(kernel, cfg, out_axis=-1)
+            if self.policy.var_corr_weight or self.policy.bias_corr_weight:
+                w_q = bias_corr.weight_correction(
+                    kernel, w_q, out_axis=-1,
+                    bias_corr=self.policy.bias_corr_weight,
+                    var_corr=self.policy.var_corr_weight)
+            new = dict(leaf)
+            new['kernel'] = jnp.asarray(w_q, kernel.dtype)
+            return new
+
+        return _map_weight_leaves(params, transform)
+
+    # ------------------------------------------------------------------
+    # Step functions
+    # ------------------------------------------------------------------
+    def make_forward(self, quantized: bool = True) -> Callable:
+        """Returns f(params, stats, x) -> (logits, aux).  ``stats`` is the
+        calibration pytree (may be None); passed as an argument so new stats
+        do not retrigger compilation."""
+
+        def fwd(params, stats, x):
+            if quantized and self.policy.qtype is not None:
+                ctx = QuantizeContext(self.policy, stats=stats,
+                                      ignore_ids=self.ignore_ids)
+            else:
+                ctx = TapContext()
+            logits = self.model.apply({'params': params}, x, ctx)
+            return logits, ctx.finalize()
+
+        return fwd
+
+    def make_collect(self, per_channel: bool | None = None,
+                     batch_avg: bool = False) -> Callable:
+        """Returns f(params, x) -> (logits, stats_batch) for calibration."""
+        if per_channel is None:
+            per_channel = self.policy.pcq_act
+
+        def fwd(params, x):
+            ctx = CollectContext(per_channel=per_channel, batch_avg=batch_avg)
+            logits = self.model.apply({'params': params}, x, ctx)
+            return logits, ctx.finalize()
+
+        return fwd
+
+    def jit_forward(self, quantized: bool = True):
+        return jax.jit(self.make_forward(quantized))
+
+    def jit_collect(self, **kw):
+        return jax.jit(self.make_collect(**kw))
+
+
+def _map_weight_leaves(params, transform, prefix: str = ''):
+    out = {}
+    for name, sub in params.items():
+        path = f'{prefix}/{name}' if prefix else name
+        if isinstance(sub, Mapping):
+            if 'kernel' in sub:
+                out[name] = transform(path, sub)
+            else:
+                out[name] = _map_weight_leaves(sub, transform, path)
+        else:
+            out[name] = sub
+    return out

@@ -1,0 +1,201 @@
+"""Flax layer primitives with quantization tap sites (NHWC / HWIO).
+
+The TPU-native replacement for the reference's ``*WithId`` intercepting
+layers (reference: pytorch_quantizer/quantization/inference/
+inference_quantization_manager.py:28-283): instead of monkeypatched classes
+with global id counters, each layer carries a static ``Site`` and calls the
+explicit ``TapContext`` on its output.  Layouts are TPU-native: activations
+NHWC, conv kernels HWIO, linear kernels [in, out].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from ..engine.context import Site, TapContext
+
+
+class SiteNamer:
+    """Construction-order id counters mirroring the reference's
+    ``itertools.count`` class attributes, so site ids like ``conv12_activation``
+    match the reference's layer numbering for the same architecture."""
+
+    def __init__(self):
+        self.counters: dict[str, int] = {}
+
+    def next(self, kind: str) -> int:
+        i = self.counters.get(kind, 0)
+        self.counters[kind] = i + 1
+        return i
+
+    def conv(self, half_range: bool = False, classifier: bool = False) -> Site:
+        i = self.next('conv')
+        tag = 'activation_classifier' if classifier else 'activation'
+        return Site(id=f'conv{i}_activation', tag=tag, half_range=half_range, kind='conv')
+
+    def bn(self, half_range: bool = False) -> Site:
+        i = self.next('bn')
+        return Site(id=f'bn{i}_activation', tag='activation', half_range=half_range, kind='bn')
+
+    def linear(self, classifier: bool = False, half_range: bool = False) -> Site:
+        i = self.next('linear')
+        tag = 'activation_classifier' if classifier else 'activation_linear'
+        return Site(id=f'linear{i}_activation', tag=tag,
+                    half_range=half_range and not classifier, kind='linear')
+
+    def maxpool(self) -> Site:
+        i = self.next('maxpool')
+        return Site(id=f'maxpool{i}_out', tag='activation_pooling', kind='maxpool')
+
+    def avgpool(self, classifier: bool = False) -> Site:
+        i = self.next('avgpool')
+        tag = 'activation_classifier' if classifier else 'activation_pooling'
+        return Site(id=f'avgpool{i}_out', tag=tag, kind='avgpool')
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class QConv(nn.Module):
+    """Conv2d with bias, tapped output (Conv2dWithId analogue)."""
+    features: int
+    kernel_size: Any
+    strides: Any = 1
+    padding: Any = 0
+    groups: int = 1
+    use_bias: bool = True
+    site: Site | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx: TapContext):
+        kh, kw = _pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            'kernel', nn.initializers.he_normal(),
+            (kh, kw, in_ch // self.groups, self.features), jnp.float32)
+        pad = _pair(self.padding)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=_pair(self.strides),
+            padding=((pad[0], pad[0]), (pad[1], pad[1])),
+            feature_group_count=self.groups,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias
+        y = y.astype(self.dtype)
+        if self.site is not None:
+            y = ctx.tap(y, self.site)
+        return y
+
+
+class QLinear(nn.Module):
+    """Linear with tapped output (LinearWithId analogue)."""
+    features: int
+    use_bias: bool = True
+    site: Site | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx: TapContext):
+        kernel = self.param('kernel', nn.initializers.he_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias
+        y = y.astype(self.dtype)
+        if self.site is not None:
+            y = ctx.tap(y, self.site)
+        return y
+
+
+class QBatchNorm(nn.Module):
+    """Inference-mode BatchNorm2d with tapped output.
+
+    Only instantiated for architectures where BN is *not* folded into the
+    preceding conv; folded models never construct this module
+    (BatchNorm2dWithId's absorbed check, i_q_m.py:264-265, resolved
+    statically at model build time instead of per-forward).
+    """
+    features: int
+    eps: float = 1e-5
+    site: Site | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx: TapContext):
+        scale = self.param('scale', nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.param('mean', nn.initializers.zeros, (self.features,), jnp.float32)
+        var = self.param('var', nn.initializers.ones, (self.features,), jnp.float32)
+        inv = scale * lax.rsqrt(var + self.eps)
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        y = y.astype(self.dtype)
+        if self.site is not None:
+            y = ctx.tap(y, self.site)
+        return y
+
+
+class QMaxPool(nn.Module):
+    """MaxPool2d with tapped output (MaxPool2dWithId analogue)."""
+    window: Any
+    strides: Any
+    padding: Any = 0
+    site: Site | None = None
+
+    def __call__(self, x, ctx: TapContext):
+        w = _pair(self.window)
+        s = _pair(self.strides)
+        p = _pair(self.padding)
+        y = lax.reduce_window(
+            x, -jnp.inf, lax.max, (1, w[0], w[1], 1), (1, s[0], s[1], 1),
+            ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)))
+        if self.site is not None:
+            y = ctx.tap(y, self.site)
+        return y
+
+
+class QAvgPool(nn.Module):
+    """AvgPool2d (count_include_pad=True, torch default) with tapped output."""
+    window: Any
+    strides: Any = None
+    padding: Any = 0
+    site: Site | None = None
+
+    def __call__(self, x, ctx: TapContext):
+        w = _pair(self.window)
+        s = _pair(self.strides if self.strides is not None else self.window)
+        p = _pair(self.padding)
+        y = lax.reduce_window(
+            x.astype(jnp.float32), 0.0, lax.add, (1, w[0], w[1], 1),
+            (1, s[0], s[1], 1), ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)))
+        y = (y / (w[0] * w[1])).astype(x.dtype)
+        if self.site is not None:
+            y = ctx.tap(y, self.site)
+        return y
+
+
+class QGlobalAvgPool(nn.Module):
+    """Adaptive 1x1 average pool, tapped like AvgPool2dWithId."""
+    site: Site | None = None
+
+    def __call__(self, x, ctx: TapContext):
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+        if self.site is not None:
+            y = ctx.tap(y, self.site)
+        return y
+
+
+def relu(x):
+    """ReLU — quantization of ReLU outputs is disabled in the reference
+    (ReLUWithId, i_q_m.py:28-48), so no tap here."""
+    return jnp.maximum(x, 0)

@@ -1,0 +1,180 @@
+"""ResNet family (18/34/50/101/152), TPU-native NHWC Flax implementation.
+
+Structure and parameter naming mirror torchvision's ResNet so pretrained
+checkpoints convert mechanically; *site ids* replicate the reference's
+construction-order numbering of ``Conv2dWithId`` (downsample convs are
+constructed before the first block of each stage, reference behavior via
+torchvision ``_make_layer``), so 8-bit exception lists like
+``conv52_activation`` (inference/inference_sim.py:114-125) are portable.
+
+BN is folded into convs at parameter-load time for this family (the
+reference folds resnets — inference_sim.py:179-182, utils/absorb_bn.py), so
+the module tree carries no BN layers when ``fold_bn=True``; convs then have
+biases.  ``before_relu`` marking (utils/mark_relu.py) is baked statically
+into the sites: stem conv, and conv1/conv2 of a Bottleneck (conv1 of a
+BasicBlock) are half-range sites.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+
+from ..engine.context import Site, TapContext
+from .layers import (QAvgPool, QBatchNorm, QConv, QLinear, QMaxPool,
+                     SiteNamer, relu)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSpec:
+    planes: int
+    stride: int
+    in_planes: int
+    bottleneck: bool
+    fold_bn: bool
+    has_downsample: bool
+    ds_sites: tuple  # (conv_site, bn_site) or ()
+    conv_sites: tuple  # ((conv_site, bn_site), ...) per conv in the block
+
+    @property
+    def out_planes(self) -> int:
+        return self.planes * (4 if self.bottleneck else 1)
+
+
+class BasicBlock(nn.Module):
+    spec: BlockSpec
+
+    @nn.compact
+    def __call__(self, x, ctx: TapContext):
+        s = self.spec
+        fold = s.fold_bn
+        identity = x
+        (c1, b1), (c2, b2) = s.conv_sites
+        out = QConv(s.planes, 3, s.stride, 1, use_bias=fold, site=c1, name='conv1')(x, ctx)
+        if not fold:
+            out = QBatchNorm(s.planes, site=b1, name='bn1')(out, ctx)
+        out = relu(out)
+        out = QConv(s.planes, 3, 1, 1, use_bias=fold, site=c2, name='conv2')(out, ctx)
+        if not fold:
+            out = QBatchNorm(s.planes, site=b2, name='bn2')(out, ctx)
+        if s.has_downsample:
+            dc, db = s.ds_sites
+            identity = QConv(s.out_planes, 1, s.stride, 0, use_bias=fold,
+                             site=dc, name='downsample_0')(x, ctx)
+            if not fold:
+                identity = QBatchNorm(s.out_planes, site=db, name='downsample_1')(identity, ctx)
+        return relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    spec: BlockSpec
+
+    @nn.compact
+    def __call__(self, x, ctx: TapContext):
+        s = self.spec
+        fold = s.fold_bn
+        identity = x
+        (c1, b1), (c2, b2), (c3, b3) = s.conv_sites
+        out = QConv(s.planes, 1, 1, 0, use_bias=fold, site=c1, name='conv1')(x, ctx)
+        if not fold:
+            out = QBatchNorm(s.planes, site=b1, name='bn1')(out, ctx)
+        out = relu(out)
+        out = QConv(s.planes, 3, s.stride, 1, use_bias=fold, site=c2, name='conv2')(out, ctx)
+        if not fold:
+            out = QBatchNorm(s.planes, site=b2, name='bn2')(out, ctx)
+        out = relu(out)
+        out = QConv(s.out_planes, 1, 1, 0, use_bias=fold, site=c3, name='conv3')(out, ctx)
+        if not fold:
+            out = QBatchNorm(s.out_planes, site=b3, name='bn3')(out, ctx)
+        if s.has_downsample:
+            dc, db = s.ds_sites
+            identity = QConv(s.out_planes, 1, s.stride, 0, use_bias=fold,
+                             site=dc, name='downsample_0')(x, ctx)
+            if not fold:
+                identity = QBatchNorm(s.out_planes, site=db, name='downsample_1')(identity, ctx)
+        return relu(out + identity)
+
+
+class ResNet(nn.Module):
+    stem_sites: tuple            # (conv_site, bn_site, maxpool_site)
+    stage_specs: tuple           # tuple of tuples of BlockSpec
+    avgpool_site: Site
+    fc_site: Site
+    fold_bn: bool = True
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, ctx: TapContext):
+        conv_site, bn_site, mp_site = self.stem_sites
+        x = QConv(64, 7, 2, 3, use_bias=self.fold_bn, site=conv_site, name='conv1')(x, ctx)
+        if not self.fold_bn:
+            x = QBatchNorm(64, site=bn_site, name='bn1')(x, ctx)
+        x = relu(x)
+        x = QMaxPool(3, 2, 1, site=mp_site, name='maxpool')(x, ctx)
+        for li, stage in enumerate(self.stage_specs):
+            for bi, spec in enumerate(stage):
+                block = Bottleneck if spec.bottleneck else BasicBlock
+                x = block(spec, name=f'layer{li + 1}_{bi}')(x, ctx)
+        x = QAvgPool(x.shape[1], 1, site=self.avgpool_site, name='avgpool')(x, ctx)
+        x = x.reshape(x.shape[0], -1)
+        x = QLinear(self.num_classes, site=self.fc_site, name='fc')(x, ctx)
+        return x
+
+
+_LAYER_CFG = {
+    'resnet18': ('basic', (2, 2, 2, 2)),
+    'resnet34': ('basic', (3, 4, 6, 3)),
+    'resnet50': ('bottleneck', (3, 4, 6, 3)),
+    'resnet101': ('bottleneck', (3, 4, 23, 3)),
+    'resnet152': ('bottleneck', (3, 8, 36, 3)),
+}
+
+
+def build_resnet(arch: str, fold_bn: bool = True, num_classes: int = 1000) -> ResNet:
+    """Build a ResNet with reference-compatible site numbering.
+
+    Construction-order rules replicated from torchvision + the reference:
+      * stem conv/bn first,
+      * per stage: downsample conv/bn constructed *before* block 0's convs,
+      * before_relu half-range marks per utils/mark_relu.py:4-29.
+    """
+    kind, depths = _LAYER_CFG[arch]
+    bottleneck = kind == 'bottleneck'
+    expansion = 4 if bottleneck else 1
+    namer = SiteNamer()
+
+    stem = (namer.conv(half_range=True), namer.bn(half_range=True), namer.maxpool())
+
+    in_planes = 64
+    stages = []
+    for si, depth in enumerate(depths):
+        planes = 64 * (2 ** si)
+        stride = 1 if si == 0 else 2
+        blocks = []
+        for bi in range(depth):
+            blk_stride = stride if bi == 0 else 1
+            has_ds = bi == 0 and (blk_stride != 1 or in_planes != planes * expansion)
+            ds_sites = (namer.conv(), namer.bn()) if has_ds else ()
+            if bottleneck:
+                conv_sites = (
+                    (namer.conv(half_range=True), namer.bn(half_range=True)),
+                    (namer.conv(half_range=True), namer.bn(half_range=True)),
+                    (namer.conv(), namer.bn()),
+                )
+            else:
+                conv_sites = (
+                    (namer.conv(half_range=True), namer.bn(half_range=True)),
+                    (namer.conv(), namer.bn()),
+                )
+            blocks.append(BlockSpec(
+                planes=planes, stride=blk_stride, in_planes=in_planes,
+                bottleneck=bottleneck, fold_bn=fold_bn, has_downsample=has_ds,
+                ds_sites=ds_sites, conv_sites=conv_sites))
+            in_planes = planes * expansion
+        stages.append(tuple(blocks))
+
+    return ResNet(stem_sites=stem, stage_specs=tuple(stages),
+                  avgpool_site=namer.avgpool(), fc_site=namer.linear(classifier=True),
+                  fold_bn=fold_bn, num_classes=num_classes)

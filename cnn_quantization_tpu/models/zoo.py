@@ -1,0 +1,49 @@
+"""Model registry: arch name -> (Flax module, ModelMeta).
+
+Covers the reference's evaluated zoo (inference/inference_sim.py:45-50,
+114-125): resnets, vggs, alexnet, squeezenet, inception_v3, mobilenet_v2.
+"""
+
+from __future__ import annotations
+
+from ..engine.engine import ModelMeta
+
+# archs the reference BN-folds (inference_sim.py:179-182)
+_FOLDED = ('resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
+           'vgg16_bn', 'vgg11_bn', 'vgg13_bn', 'vgg19_bn', 'inception_v3')
+
+
+def build_model(arch: str, fold_bn: bool | None = None, num_classes: int = 1000):
+    if fold_bn is None:
+        fold_bn = arch in _FOLDED
+    if arch.startswith('resnet'):
+        from .resnet import build_resnet
+        model = build_resnet(arch, fold_bn=fold_bn, num_classes=num_classes)
+        return model, ModelMeta(arch=arch, fold_bn=fold_bn)
+    if arch.startswith('vgg'):
+        from .vgg import build_vgg
+        model = build_vgg(arch, fold_bn=fold_bn, num_classes=num_classes)
+        return model, ModelMeta(arch=arch, fold_bn=fold_bn)
+    if arch == 'alexnet':
+        from .alexnet import build_alexnet
+        return build_alexnet(num_classes), ModelMeta(arch=arch, fold_bn=False)
+    if arch.startswith('squeezenet'):
+        from .squeezenet import build_squeezenet
+        return build_squeezenet(arch, num_classes), ModelMeta(arch=arch, fold_bn=False)
+    if arch == 'inception_v3':
+        from .inception import build_inception_v3
+        model = build_inception_v3(num_classes, fold_bn=fold_bn)
+        return model, ModelMeta(
+            arch=arch, fold_bn=fold_bn, input_size=299,
+            eight_bit_weight_names=('Conv2d_1a_3x3', 'Conv2d_2a_3x3'))
+    if arch == 'mobilenet_v2' or arch == 'mobilenetv2':
+        from .mobilenetv2 import build_mobilenet_v2
+        model = build_mobilenet_v2(num_classes, fold_bn=fold_bn)
+        return model, ModelMeta(arch='mobilenet_v2', fold_bn=fold_bn)
+    raise ValueError(f'unknown arch {arch!r}')
+
+
+def available_archs():
+    return ('resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
+            'vgg11', 'vgg13', 'vgg16', 'vgg19', 'vgg16_bn', 'alexnet',
+            'squeezenet1_0', 'squeezenet1_1', 'inception_v3', 'mobilenet_v2')
