@@ -21,6 +21,7 @@ import dataclasses
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from ..engine.context import Site, TapContext
 from .layers import (QAvgPool, QBatchNorm, QConv, QLinear, QMaxPool,
@@ -37,6 +38,7 @@ class BlockSpec:
     has_downsample: bool
     ds_sites: tuple  # (conv_site, bn_site) or ()
     conv_sites: tuple  # ((conv_site, bn_site), ...) per conv in the block
+    dtype: str = 'float32'
 
     @property
     def out_planes(self) -> int:
@@ -50,19 +52,20 @@ class BasicBlock(nn.Module):
     def __call__(self, x, ctx: TapContext):
         s = self.spec
         fold = s.fold_bn
+        dt = jnp.dtype(s.dtype)
         identity = x
         (c1, b1), (c2, b2) = s.conv_sites
-        out = QConv(s.planes, 3, s.stride, 1, use_bias=fold, site=c1, name='conv1')(x, ctx)
+        out = QConv(s.planes, 3, s.stride, 1, use_bias=fold, site=c1, dtype=dt, name='conv1')(x, ctx)
         if not fold:
             out = QBatchNorm(s.planes, site=b1, name='bn1')(out, ctx)
         out = relu(out)
-        out = QConv(s.planes, 3, 1, 1, use_bias=fold, site=c2, name='conv2')(out, ctx)
+        out = QConv(s.planes, 3, 1, 1, use_bias=fold, site=c2, dtype=dt, name='conv2')(out, ctx)
         if not fold:
             out = QBatchNorm(s.planes, site=b2, name='bn2')(out, ctx)
         if s.has_downsample:
             dc, db = s.ds_sites
             identity = QConv(s.out_planes, 1, s.stride, 0, use_bias=fold,
-                             site=dc, name='downsample_0')(x, ctx)
+                             site=dc, dtype=dt, name='downsample_0')(x, ctx)
             if not fold:
                 identity = QBatchNorm(s.out_planes, site=db, name='downsample_1')(identity, ctx)
         return relu(out + identity)
@@ -75,23 +78,24 @@ class Bottleneck(nn.Module):
     def __call__(self, x, ctx: TapContext):
         s = self.spec
         fold = s.fold_bn
+        dt = jnp.dtype(s.dtype)
         identity = x
         (c1, b1), (c2, b2), (c3, b3) = s.conv_sites
-        out = QConv(s.planes, 1, 1, 0, use_bias=fold, site=c1, name='conv1')(x, ctx)
+        out = QConv(s.planes, 1, 1, 0, use_bias=fold, site=c1, dtype=dt, name='conv1')(x, ctx)
         if not fold:
             out = QBatchNorm(s.planes, site=b1, name='bn1')(out, ctx)
         out = relu(out)
-        out = QConv(s.planes, 3, s.stride, 1, use_bias=fold, site=c2, name='conv2')(out, ctx)
+        out = QConv(s.planes, 3, s.stride, 1, use_bias=fold, site=c2, dtype=dt, name='conv2')(out, ctx)
         if not fold:
             out = QBatchNorm(s.planes, site=b2, name='bn2')(out, ctx)
         out = relu(out)
-        out = QConv(s.out_planes, 1, 1, 0, use_bias=fold, site=c3, name='conv3')(out, ctx)
+        out = QConv(s.out_planes, 1, 1, 0, use_bias=fold, site=c3, dtype=dt, name='conv3')(out, ctx)
         if not fold:
             out = QBatchNorm(s.out_planes, site=b3, name='bn3')(out, ctx)
         if s.has_downsample:
             dc, db = s.ds_sites
             identity = QConv(s.out_planes, 1, s.stride, 0, use_bias=fold,
-                             site=dc, name='downsample_0')(x, ctx)
+                             site=dc, dtype=dt, name='downsample_0')(x, ctx)
             if not fold:
                 identity = QBatchNorm(s.out_planes, site=db, name='downsample_1')(identity, ctx)
         return relu(out + identity)
@@ -104,11 +108,14 @@ class ResNet(nn.Module):
     fc_site: Site
     fold_bn: bool = True
     num_classes: int = 1000
+    dtype: str = 'float32'
 
     @nn.compact
     def __call__(self, x, ctx: TapContext):
+        dt = jnp.dtype(self.dtype)
+        x = x.astype(dt)
         conv_site, bn_site, mp_site = self.stem_sites
-        x = QConv(64, 7, 2, 3, use_bias=self.fold_bn, site=conv_site, name='conv1')(x, ctx)
+        x = QConv(64, 7, 2, 3, use_bias=self.fold_bn, site=conv_site, dtype=dt, name='conv1')(x, ctx)
         if not self.fold_bn:
             x = QBatchNorm(64, site=bn_site, name='bn1')(x, ctx)
         x = relu(x)
@@ -119,8 +126,8 @@ class ResNet(nn.Module):
                 x = block(spec, name=f'layer{li + 1}_{bi}')(x, ctx)
         x = QAvgPool(x.shape[1], 1, site=self.avgpool_site, name='avgpool')(x, ctx)
         x = x.reshape(x.shape[0], -1)
-        x = QLinear(self.num_classes, site=self.fc_site, name='fc')(x, ctx)
-        return x
+        x = QLinear(self.num_classes, site=self.fc_site, dtype=dt, name='fc')(x, ctx)
+        return x.astype(jnp.float32)
 
 
 _LAYER_CFG = {
@@ -132,7 +139,8 @@ _LAYER_CFG = {
 }
 
 
-def build_resnet(arch: str, fold_bn: bool = True, num_classes: int = 1000) -> ResNet:
+def build_resnet(arch: str, fold_bn: bool = True, num_classes: int = 1000,
+                 dtype: str = 'float32') -> ResNet:
     """Build a ResNet with reference-compatible site numbering.
 
     Construction-order rules replicated from torchvision + the reference:
@@ -171,10 +179,10 @@ def build_resnet(arch: str, fold_bn: bool = True, num_classes: int = 1000) -> Re
             blocks.append(BlockSpec(
                 planes=planes, stride=blk_stride, in_planes=in_planes,
                 bottleneck=bottleneck, fold_bn=fold_bn, has_downsample=has_ds,
-                ds_sites=ds_sites, conv_sites=conv_sites))
+                ds_sites=ds_sites, conv_sites=conv_sites, dtype=dtype))
             in_planes = planes * expansion
         stages.append(tuple(blocks))
 
     return ResNet(stem_sites=stem, stage_specs=tuple(stages),
                   avgpool_site=namer.avgpool(), fc_site=namer.linear(classifier=True),
-                  fold_bn=fold_bn, num_classes=num_classes)
+                  fold_bn=fold_bn, num_classes=num_classes, dtype=dtype)

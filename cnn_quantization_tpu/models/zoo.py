@@ -13,12 +13,13 @@ _FOLDED = ('resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
            'vgg16_bn', 'vgg11_bn', 'vgg13_bn', 'vgg19_bn', 'inception_v3')
 
 
-def build_model(arch: str, fold_bn: bool | None = None, num_classes: int = 1000):
+def build_model(arch: str, fold_bn: bool | None = None, num_classes: int = 1000,
+                dtype: str = 'float32'):
     if fold_bn is None:
         fold_bn = arch in _FOLDED
     if arch.startswith('resnet'):
         from .resnet import build_resnet
-        model = build_resnet(arch, fold_bn=fold_bn, num_classes=num_classes)
+        model = build_resnet(arch, fold_bn=fold_bn, num_classes=num_classes, dtype=dtype)
         return model, ModelMeta(arch=arch, fold_bn=fold_bn)
     if arch.startswith('vgg'):
         from .vgg import build_vgg
