@@ -1,10 +1,19 @@
 """Benchmark: ResNet-50 W4A4 quantized-inference throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology notes (this machine's TPU is behind an RPC tunnel with ~30-40ms
+per-dispatch latency, and XLA hoists loop-invariant computations):
+  * the model step runs inside a lax.scan whose input depends on the carry
+    (an epsilon-scaled logit sum folded into the image), forcing one real
+    sequential execution per step — no hoisting, no async inflation;
+  * per-step time is the slope between S=1 and S=LONG scans, cancelling the
+    fixed RPC + dispatch overhead.
+
 The reference publishes no throughput numbers (SURVEY.md §6), so
-``vs_baseline`` is the quantized-vs-FP32 throughput ratio on the same chip —
-the fake-quant overhead factor (1.0 = free quantization; the reference's
-Python/CUDA fake-quant path is far below 1).
+``vs_baseline`` is the quantized-vs-unquantized (bf16) throughput ratio on
+the same chip: the cost of quantization (1.0 = free; the reference's
+python/CUDA fake-quant path is far below 1).
 """
 
 import json
@@ -15,16 +24,55 @@ import time
 import numpy as np
 
 
-def bench(arch='resnet50', batch=64, steps=10, dtype='bfloat16'):
+def _timed_scan(fn, params, images, steps_pair=(1, 8), reps=3):
     import jax
     import jax.numpy as jnp
+
+    def make(S):
+        @jax.jit
+        def run(p, im):
+            def body(carry, _):
+                x = im + carry * 1e-30  # loop-carried dep: defeats LICM
+                s = jnp.sum(fn(p, x)).astype(jnp.float32)
+                return s * 1e-30, None
+            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=S)
+            return out
+        return run
+
+    times = {}
+    for S in steps_pair:
+        run = make(S)
+        float(run(params, images))  # compile + warmup (blocking readback)
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(params, images))
+            best = min(best, time.perf_counter() - t0)
+        times[S] = best
+    s0, s1 = steps_pair
+    return (times[s1] - times[s0]) / (s1 - s0)
+
+
+def bench(arch='resnet50', batch=128, dtype='bfloat16'):
+    import jax
+    import jax.numpy as jnp
+    cache = os.environ.get('JAX_CACHE_DIR', '/root/jax_cache')
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+    except Exception:
+        pass
+
     from cnn_quantization_tpu.models import build_model
     from cnn_quantization_tpu.engine import QuantPolicy, QuantEngine, TapContext
 
     model, meta = build_model(arch, dtype=dtype)
-    x = jnp.zeros((batch, 224, 224, 3), jnp.float32)
-    params = jax.jit(lambda k: model.init(k, x, TapContext())['params'])(
+    x0 = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, x0, TapContext())['params'])(
         jax.random.PRNGKey(0))
+    images = jnp.asarray(np.random.RandomState(0).rand(batch, 224, 224, 3)
+                         .astype(np.float32))
 
     policy = QuantPolicy(qtype='int4', qweight='int4', pcq_weights=True,
                          pcq_act=True, clipping='laplace', bit_alloc_act=True,
@@ -32,28 +80,26 @@ def bench(arch='resnet50', batch=64, steps=10, dtype='bfloat16'):
     eng = QuantEngine(model, policy, meta)
     pq = eng.quantize_params(params)
 
-    images = jnp.asarray(np.random.RandomState(0).rand(batch, 224, 224, 3)
-                         .astype(np.float32))
+    # W4A4 with frozen qparams (the deployment path): calibrate on a few
+    # batches, freeze, then measure the pure quantized forward.
+    from cnn_quantization_tpu.calib.calibrator import collect_statistics
+    cal = [(np.asarray(images[:8]), np.zeros(8, np.int32))]
+    stats = collect_statistics(eng.jit_collect(), params, cal)
+    qp = eng.freeze_qparams(stats, input_shape=(batch, 224, 224, 3))
 
-    def timed(fwd, p):
-        out, _ = fwd(p, None, images)
-        jax.block_until_ready(out)          # compile + warmup
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out, _ = fwd(p, None, images)
-        jax.block_until_ready(out)
-        return batch * steps / (time.perf_counter() - t0)
+    fwd_q = eng.make_forward(quantized=True, qparams=qp)
+    t_q = _timed_scan(lambda p, im: fwd_q(p, None, im)[0], pq, images)
 
-    ips_q = timed(eng.jit_forward(quantized=True), pq)
-    ips_fp = timed(eng.jit_forward(quantized=False), params)
-    return ips_q, ips_fp
+    fwd_fp = eng.make_forward(quantized=False)
+    t_fp = _timed_scan(lambda p, im: fwd_fp(p, None, im)[0], params, images)
+
+    return batch / t_q, batch / t_fp
 
 
 def main():
-    batch = int(os.environ.get('BENCH_BATCH', '64'))
-    steps = int(os.environ.get('BENCH_STEPS', '10'))
+    batch = int(os.environ.get('BENCH_BATCH', '128'))
     try:
-        ips_q, ips_fp = bench(batch=batch, steps=steps)
+        ips_q, ips_fp = bench(batch=batch)
         print(json.dumps({
             'metric': 'resnet50_w4a4_images_per_sec_per_chip',
             'value': round(ips_q, 2),

@@ -218,6 +218,16 @@ def main(argv=None):
         print(elog)
         return 0
 
+    # ---------------- tensor dump (debug) -------------------------------
+    if args.dump_dir:
+        import jax.numpy as jnp
+        from ..utils.dump_manager import dump_activations
+        images, _ = next(iter(loader))
+        names = dump_activations(engine, params_q, jnp.asarray(images),
+                                 args.dump_dir)
+        print(f'Dumped {len(names)} activations to {args.dump_dir}')
+        return 0
+
     # ---------------- plain validation ---------------------------------
     res = run_eval(engine, params_q if policy.qtype else params,
                    quantized=policy.qtype is not None)

@@ -56,6 +56,17 @@ class TapContext:
         return {}
 
 
+class ServingInt8Context(TapContext):
+    """True-int8 serving mode: convs run quantize->int8 MXU GEMM->dequant
+    (see models/layers.py QConv + ops/kernels/int_conv.py); taps are
+    identity since activation quantization happens at the conv inputs.
+    This is the deployment-arithmetic mode the reference never executes
+    (its "quantized" convs run fp32 — SURVEY.md §3.1)."""
+
+    mode = 'serving_int8'
+    int8_serving = True
+
+
 class CollectContext(TapContext):
     """Collect calibration statistics (reference StatsMode.collect_stats).
 
@@ -118,12 +129,14 @@ class QuantizeContext(TapContext):
     def __init__(self, policy: QuantPolicy,
                  stats: Mapping[str, Mapping[str, Any]] | None = None,
                  ignore_ids: tuple[str, ...] = (),
-                 channel_axis: int = -1):
+                 channel_axis: int = -1,
+                 qparams: Mapping[str, Any] | None = None):
         self.policy = policy
         self.configs = policy.tag_configs()
         self.stats = stats
         self.ignore_ids = frozenset(ignore_ids) | frozenset(policy.default_ignore_ids())
         self.channel_axis = channel_axis
+        self.qparams = qparams or {}
         self.aux: dict[str, Any] = {}
 
     def config_for(self, site: Site) -> QuantConfig | None:
@@ -148,9 +161,15 @@ class QuantizeContext(TapContext):
         if cfg is None or self.policy.qtype is None:
             return x
         stats = self.site_stats(site, cfg)
-        out_q, aux = quantize_activation(
-            x, cfg, half_range=site.half_range, site_stats=stats,
-            channel_axis=self.channel_axis, tag=site.tag)
+        if site.id in self.qparams and not cfg.measure_entropy:
+            # frozen fast path: single fused fake-quant, no per-batch stats
+            from .qparams import apply_frozen
+            out_q = apply_frozen(x, self.qparams[site.id])
+            aux = {}
+        else:
+            out_q, aux = quantize_activation(
+                x, cfg, half_range=site.half_range, site_stats=stats,
+                channel_axis=self.channel_axis, tag=site.tag)
         if 'entropy' in aux:
             self.aux[f'{site.id}/entropy'] = aux['entropy']
             self.aux[f'{site.id}/numel'] = x.size

@@ -108,21 +108,36 @@ class QuantEngine:
     # ------------------------------------------------------------------
     # Step functions
     # ------------------------------------------------------------------
-    def make_forward(self, quantized: bool = True) -> Callable:
+    def make_forward(self, quantized: bool = True, qparams=None) -> Callable:
         """Returns f(params, stats, x) -> (logits, aux).  ``stats`` is the
         calibration pytree (may be None); passed as an argument so new stats
-        do not retrigger compilation."""
+        do not retrigger compilation.  ``qparams`` (from ``freeze_qparams``)
+        enables the frozen fast path per site."""
 
         def fwd(params, stats, x):
-            if quantized and self.policy.qtype is not None:
+            if quantized == 'serving_int8':
+                from .context import ServingInt8Context
+                ctx = ServingInt8Context()
+            elif quantized and self.policy.qtype is not None:
                 ctx = QuantizeContext(self.policy, stats=stats,
-                                      ignore_ids=self.ignore_ids)
+                                      ignore_ids=self.ignore_ids,
+                                      qparams=qparams)
             else:
                 ctx = TapContext()
             logits = self.model.apply({'params': params}, x, ctx)
             return logits, ctx.finalize()
 
         return fwd
+
+    def freeze_qparams(self, stats, input_shape=None):
+        """Resolve static per-site quantization params from a stats artifact
+        (see engine/qparams.py)."""
+        from .qparams import discover_sites, freeze_qparams
+        if input_shape is None:
+            s = self.meta.input_size
+            input_shape = (1, s, s, 3)
+        sites = discover_sites(self.model, input_shape)
+        return freeze_qparams(self.policy, stats, sites, self.ignore_ids)
 
     def make_collect(self, per_channel: bool | None = None,
                      batch_avg: bool = False) -> Callable:
@@ -137,8 +152,8 @@ class QuantEngine:
 
         return fwd
 
-    def jit_forward(self, quantized: bool = True):
-        return jax.jit(self.make_forward(quantized))
+    def jit_forward(self, quantized: bool = True, qparams=None):
+        return jax.jit(self.make_forward(quantized, qparams=qparams))
 
     def jit_collect(self, **kw):
         return jax.jit(self.make_collect(**kw))

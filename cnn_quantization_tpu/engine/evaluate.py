@@ -17,8 +17,8 @@ from ..utils.meters import AverageMeter, accuracy_counts, cross_entropy_sum
 from .engine import QuantEngine
 
 
-def make_eval_step(engine: QuantEngine, quantized: bool = True):
-    fwd = engine.make_forward(quantized)
+def make_eval_step(engine: QuantEngine, quantized: bool = True, qparams=None):
+    fwd = engine.make_forward(quantized, qparams=qparams)
 
     @jax.jit
     def step(params, stats, images, labels):
@@ -33,11 +33,11 @@ def make_eval_step(engine: QuantEngine, quantized: bool = True):
 def evaluate(engine: QuantEngine, params, batches: Iterable, *,
              stats: Mapping[str, Any] | None = None, quantized: bool = True,
              subset: int | None = None, print_freq: int = 10,
-             verbose: bool = False) -> dict[str, float]:
+             verbose: bool = False, qparams=None) -> dict[str, float]:
     """Run the eval loop; returns {'top1', 'top5', 'loss', 'images_per_sec',
     'avg_entropy'(opt)}.  ``subset`` stops after N images
     (inference_sim.py:294-296)."""
-    step = make_eval_step(engine, quantized)
+    step = make_eval_step(engine, quantized, qparams=qparams)
     top1 = AverageMeter()
     top5 = AverageMeter()
     losses = AverageMeter()

@@ -80,6 +80,20 @@ class QConv(nn.Module):
             'kernel', nn.initializers.he_normal(),
             (kh, kw, in_ch // self.groups, self.features), jnp.float32)
         pad = _pair(self.padding)
+        if getattr(ctx, 'int8_serving', False) and self.groups == 1:
+            # true-int path: dynamic per-tensor act quant + per-channel int8
+            # weights on the MXU (ops/kernels/int_conv.py)
+            from ..ops.kernels.int_conv import int8_conv, prepare_int8_weights
+            w_codes, w_scale = prepare_int8_weights(kernel)
+            bias = (self.param('bias', nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                    if self.use_bias else None)
+            y = int8_conv(x.astype(jnp.float32), w_codes, w_scale, bias,
+                          kernel_size=(kh, kw), strides=_pair(self.strides),
+                          padding=pad, out_dtype=self.dtype)
+            if self.site is not None:
+                y = ctx.tap(y, self.site)
+            return y
         y = lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=_pair(self.strides),
@@ -146,19 +160,30 @@ class QBatchNorm(nn.Module):
 
 
 class QMaxPool(nn.Module):
-    """MaxPool2d with tapped output (MaxPool2dWithId analogue)."""
+    """MaxPool2d with tapped output (MaxPool2dWithId analogue).
+
+    ``ceil_mode`` pads the right/bottom with -inf so the output size rounds
+    up, matching torch's ceil_mode=True (used by squeezenet/inception).
+    """
     window: Any
     strides: Any
     padding: Any = 0
+    ceil_mode: bool = False
     site: Site | None = None
 
     def __call__(self, x, ctx: TapContext):
         w = _pair(self.window)
         s = _pair(self.strides)
         p = _pair(self.padding)
+        hi_pad = [p[0], p[1]]
+        if self.ceil_mode:
+            for d in (0, 1):
+                size = x.shape[1 + d] + 2 * p[d]
+                out_ceil = -(-(size - w[d]) // s[d]) + 1
+                hi_pad[d] = p[d] + max(0, (out_ceil - 1) * s[d] + w[d] - size)
         y = lax.reduce_window(
             x, -jnp.inf, lax.max, (1, w[0], w[1], 1), (1, s[0], s[1], 1),
-            ((0, 0), (p[0], p[0]), (p[1], p[1]), (0, 0)))
+            ((0, 0), (p[0], hi_pad[0]), (p[1], hi_pad[1]), (0, 0)))
         if self.site is not None:
             y = ctx.tap(y, self.site)
         return y

@@ -1,0 +1,84 @@
+"""True-int8 GEMM/conv kernels (interpret mode) vs float references."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+import pytest
+
+from cnn_quantization_tpu.ops.kernels.int_matmul import (int8_matmul_dequant,
+                                                         quantize_sym_int8)
+from cnn_quantization_tpu.ops.kernels.int_conv import (int8_conv,
+                                                       prepare_int8_weights)
+
+
+def test_int_matmul_exact_vs_int32_numpy():
+    rng = np.random.RandomState(0)
+    a = rng.randint(-127, 128, (100, 70)).astype(np.int8)
+    b = rng.randint(-127, 128, (70, 50)).astype(np.int8)
+    alpha = rng.rand(50).astype(np.float32)
+    beta = rng.randn(50).astype(np.float32)
+    got = np.asarray(int8_matmul_dequant(jnp.asarray(a), jnp.asarray(b),
+                                         jnp.asarray(alpha), jnp.asarray(beta),
+                                         interpret=True))
+    want = a.astype(np.int32) @ b.astype(np.int32) * alpha + beta
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_int_matmul_fused_relu():
+    rng = np.random.RandomState(1)
+    a = rng.randint(-10, 10, (8, 16)).astype(np.int8)
+    b = rng.randint(-10, 10, (16, 8)).astype(np.int8)
+    alpha = np.ones(8, np.float32)
+    beta = np.zeros(8, np.float32)
+    got = np.asarray(int8_matmul_dequant(jnp.asarray(a), jnp.asarray(b),
+                                         jnp.asarray(alpha), jnp.asarray(beta),
+                                         fuse_relu=True, interpret=True))
+    assert got.min() >= 0
+
+
+def test_quantize_sym_int8_roundtrip():
+    rng = np.random.RandomState(2)
+    x = rng.randn(64, 32).astype(np.float32)
+    codes, scale = quantize_sym_int8(x)
+    deq = np.asarray(codes, np.float32) * float(scale)
+    assert np.abs(deq - x).max() <= float(scale) * 0.5 + 1e-6
+    # per-channel
+    codes_c, scale_c = quantize_sym_int8(x, axis=1)
+    assert codes_c.shape == x.shape and scale_c.shape == (32,)
+    deq_c = np.asarray(codes_c, np.float32) * np.asarray(scale_c)
+    assert np.abs(deq_c - x).max() <= np.max(scale_c) * 0.5 + 1e-6
+
+
+@pytest.mark.parametrize('kh,stride,pad', [(1, 1, 0), (3, 1, 1), (3, 2, 1)])
+def test_int8_conv_matches_dequantized_float_conv(kh, stride, pad):
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 14, 14, 16).astype(np.float32)
+    w = (rng.randn(kh, kh, 16, 32).astype(np.float32) * 0.1)
+    bias = rng.randn(32).astype(np.float32)
+
+    w_codes, w_scale = prepare_int8_weights(jnp.asarray(w))
+    got = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                               jnp.asarray(bias), kernel_size=(kh, kh),
+                               strides=(stride, stride), padding=(pad, pad),
+                               interpret=True))
+
+    # exact reference: float conv of the dequantized tensors
+    x_q, x_scale = quantize_sym_int8(jnp.asarray(x))
+    x_deq = np.asarray(x_q, np.float32) * float(x_scale)
+    w_deq = (np.asarray(w_codes, np.float32)
+             .reshape(kh, kh, 16, 32) * np.asarray(w_scale))
+    want = lax.conv_general_dilated(
+        jnp.asarray(x_deq), jnp.asarray(w_deq), (stride, stride),
+        ((pad, pad), (pad, pad)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # and close to the true float conv (quantization error bounded)
+    true = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (stride, stride),
+        ((pad, pad), (pad, pad)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+    rel = (np.linalg.norm(got - np.asarray(true))
+           / np.linalg.norm(np.asarray(true)))
+    assert rel < 0.02, rel
