@@ -104,13 +104,17 @@ def _flax_path(torch_prefix: str) -> tuple[str, ...]:
 
 def state_dict_to_params(state: Mapping[str, np.ndarray], *,
                          fold_bn: bool = True,
-                         flatten_inputs: Mapping[str, tuple[int, int, int]] | None = None):
+                         flatten_inputs: Mapping[str, tuple[int, int, int]] | None = None,
+                         skip_prefixes: tuple[str, ...] = ()):
     """Convert a torch state dict into a Flax params tree.
 
     ``flatten_inputs`` maps the flax path ('.'-joined) of any linear layer
     that consumes a flattened conv feature map to its (C, H, W) input shape;
     its kernel columns are permuted from CHW order to our HWC flatten order.
     """
+    if skip_prefixes:
+        state = {k: v for k, v in state.items()
+                 if not any(k.startswith(p) for p in skip_prefixes)}
     if fold_bn:
         state, _ = fold_bn_state(state)
     flatten_inputs = flatten_inputs or {}
@@ -176,6 +180,17 @@ FLATTEN_INPUTS = {
 
 
 def import_arch(arch: str, state: Mapping[str, np.ndarray], fold_bn: bool):
+    skip = ('AuxLogits',) if arch == 'inception_v3' else ()
+    eps = 1e-3 if arch == 'inception_v3' else BN_EPS
+    if fold_bn:
+        state, _ = fold_bn_state(
+            {k: v for k, v in state.items()
+             if not any(k.startswith(p) for p in skip)}, eps=eps)
+        fold = False
+    else:
+        fold = False
+        state = {k: v for k, v in state.items()
+                 if not any(k.startswith(p) for p in skip)}
     return state_dict_to_params(
-        state, fold_bn=fold_bn,
+        state, fold_bn=fold,
         flatten_inputs=FLATTEN_INPUTS.get(arch.replace('_bn', ''), FLATTEN_INPUTS.get(arch)))
