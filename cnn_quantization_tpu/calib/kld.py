@@ -41,8 +41,18 @@ def _kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
 
 
 def kld_threshold(arr: np.ndarray, num_bins: int = 2001,
-                  num_quantized_bins: int = 15) -> float:
-    """Optimal symmetric clip threshold by KL-divergence sweep."""
+                  num_quantized_bins: int = 15, use_native: bool = True) -> float:
+    """Optimal symmetric clip threshold by KL-divergence sweep.
+
+    Dispatches to the C++ implementation (native/kld_threshold.cpp) when the
+    shared library is available; this numpy body is the reference fallback
+    and the equivalence oracle for tests.
+    """
+    if use_native:
+        from ..native import kld_threshold_native
+        th = kld_threshold_native(arr, num_bins, num_quantized_bins)
+        if th is not None:
+            return th
     arr = np.asarray(arr).ravel()
     th = float(max(abs(arr.min()), abs(arr.max())))
     if th == 0.0:
