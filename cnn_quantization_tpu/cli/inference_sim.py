@@ -59,6 +59,9 @@ def build_parser():
                    help='custom_test layer ordering (json list); default: '
                         'derived from calibration stats')
     p.add_argument('--dump_dir', '-dd', default=None)
+    p.add_argument('--measure_stats', '-ms', action='store_true', default=False,
+                   help='measure per-layer float-vs-quantized error stats')
+    p.add_argument('--mlf_experiment', '-mlexp', default=None)
     p.add_argument('--kld_threshold', '-kld', action='store_true', default=False)
     p.add_argument('--aciq_cal', '-ac', action='store_true', default=False)
     p.add_argument('--cal_set_size', '-cs', default=5120, type=int)
@@ -159,8 +162,11 @@ def main(argv=None):
     # ---------------- collect mode -------------------------------------
     if args.stats_mode == 'collect':
         print('Collecting statistics...')
+        from ..engine.policy import parse_qtype_bits
+        err_bits = parse_qtype_bits(args.qtype) if args.qtype else None
         summary = collect_statistics(
-            engine.jit_collect(batch_avg=args.stats_batch_avg), params, loader,
+            engine.jit_collect(batch_avg=args.stats_batch_avg, err_bits=err_bits),
+            params, loader,
             cal_set_size=args.cal_set_size if (args.kld_threshold or args.aciq_cal) else None)
         if args.kld_threshold:
             from ..calib.kld import add_kld_thresholds
@@ -218,6 +224,16 @@ def main(argv=None):
         print(elog)
         return 0
 
+    # ---------------- float-vs-quantized measurement ---------------------
+    if args.measure_stats:
+        from ..calib.measure import measure_statistics, save_measure_csv
+        frames = measure_statistics(engine, params, params_q, loader, stats=stats)
+        out = save_measure_csv(
+            frames, os.path.join(os.path.expanduser('~'), 'mxt-sim-tpu',
+                                 'distance', args.arch), args.arch)
+        print(f'Saved measurement summary for {len(frames)} sites -> {out}')
+        return 0
+
     # ---------------- tensor dump (debug) -------------------------------
     if args.dump_dir:
         import jax.numpy as jnp
@@ -229,13 +245,20 @@ def main(argv=None):
         return 0
 
     # ---------------- plain validation ---------------------------------
-    res = run_eval(engine, params_q if policy.qtype else params,
-                   quantized=policy.qtype is not None)
-    print(f" * Prec@1 {res['top1']:.3f} Prec@5 {res['top5']:.3f} "
-          f"({res['images_per_sec']:.1f} img/s)")
-    if args.measure_entropy and 'avg_entropy' in res:
-        print(f"Average bit rate: avg.entropy.act - {res['avg_entropy']}")
-    print(json.dumps({k: round(float(v), 4) for k, v in res.items()}))
+    from ..utils.tracker import MetricsTracker
+    experiment = args.mlf_experiment or args.arch
+    name = f"{args.arch}_W{args.qweight}A{args.qtype}"
+    with MetricsTracker('~/mlruns_mxt_tpu', experiment, args, name) as tracker:
+        res = run_eval(engine, params_q if policy.qtype else params,
+                       quantized=policy.qtype is not None)
+        for k in ('top1', 'top5', 'loss'):
+            tracker.log_metric(k, res[k])
+        print(f" * Prec@1 {res['top1']:.3f} Prec@5 {res['top5']:.3f} "
+              f"({res['images_per_sec']:.1f} img/s)")
+        if args.measure_entropy and 'avg_entropy' in res:
+            tracker.log_metric('avg.entropy.act', res['avg_entropy'])
+            print(f"Average bit rate: avg.entropy.act - {res['avg_entropy']}")
+        print(json.dumps({k: round(float(v), 4) for k, v in res.items()}))
     return 0
 
 

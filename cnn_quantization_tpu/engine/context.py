@@ -82,10 +82,11 @@ class CollectContext(TapContext):
     mode = 'collect'
 
     def __init__(self, *, per_channel: bool, batch_avg: bool = False,
-                 channel_axis: int = -1):
+                 channel_axis: int = -1, err_bits: int | None = None):
         self.per_channel = per_channel
         self.batch_avg = batch_avg
         self.channel_axis = channel_axis
+        self.err_bits = err_bits
         self.collected: dict[str, dict[str, jnp.ndarray]] = {}
 
     def tap(self, x, site: Site):
@@ -98,6 +99,9 @@ class CollectContext(TapContext):
         mm = act_stats(xf, ['min', 'max'],
                        avg_over_batch=self.batch_avg and not force_global)
         entry.update({f'scalar/{k}': v for k, v in {**pt, **mm}.items()})
+        if self.err_bits is not None:
+            entry.update({f'scalar/{k}': v for k, v in
+                          _quant_error_stats(xf, self.err_bits).items()})
 
         if self.per_channel and xf.ndim == 4 and _spatial(xf, self.channel_axis):
             pc = act_stats_per_channel(
@@ -189,3 +193,37 @@ class QuantizeContext(TapContext):
 def _spatial(x, channel_axis):
     sp = [x.shape[i] for i in range(1, 4) if i != channel_axis % 4]
     return sp[0] > 1 or sp[1] > 1
+
+
+def _quant_error_stats(xf, bits: int):
+    """Per-prior quantization-error columns (mse_/cos_ lowp|gaus|laplace).
+
+    The reference reserves these columns (statistic_manager.py:22-32) but
+    never fills them on the main path; here they are computed at collect
+    time so 'mix' clipping (int_quantizer.py:310-323) and MSE-ranked layer
+    orderings actually work.
+    """
+    from ..ops import aciq
+    from ..ops.quant_math import alpha_to_delta_offset, fake_quant, minmax_delta_offset
+
+    flat = xf.reshape(-1)
+    s = act_stats(flat, ['min', 'max', 'mean', 'std', 'b'])
+    qmax = 2.0 ** bits - 1.0
+    out = {}
+
+    def add(name, delta, offset):
+        xq = fake_quant(flat, delta, offset, qmax)
+        err = flat - xq
+        out[f'mse_{name}'] = jnp.mean(err * err)
+        denom = jnp.linalg.norm(flat) * jnp.linalg.norm(xq) + 1e-12
+        out[f'cos_{name}'] = jnp.dot(flat, xq) / denom
+
+    d, o = minmax_delta_offset(s['min'], s['max'], half_range=False)
+    add('lowp', d, o)
+    a_g = aciq.alpha_gaus(s['std'], bits, half_range=False)
+    d, o = alpha_to_delta_offset(a_g, s['max'], s['min'], s['mean'], half_range=False)
+    add('gaus', d, o)
+    a_l = aciq.alpha_laplace(s['b'], bits, half_range=False)
+    d, o = alpha_to_delta_offset(a_l, s['max'], s['min'], s['mean'], half_range=False)
+    add('laplace', d, o)
+    return out

@@ -140,13 +140,17 @@ class QuantEngine:
         return freeze_qparams(self.policy, stats, sites, self.ignore_ids)
 
     def make_collect(self, per_channel: bool | None = None,
-                     batch_avg: bool = False) -> Callable:
-        """Returns f(params, x) -> (logits, stats_batch) for calibration."""
+                     batch_avg: bool = False,
+                     err_bits: int | None = None) -> Callable:
+        """Returns f(params, x) -> (logits, stats_batch) for calibration.
+        ``err_bits`` additionally collects per-prior quantization-error
+        columns at that bit width (for 'mix' clipping / MSE orderings)."""
         if per_channel is None:
             per_channel = self.policy.pcq_act
 
         def fwd(params, x):
-            ctx = CollectContext(per_channel=per_channel, batch_avg=batch_avg)
+            ctx = CollectContext(per_channel=per_channel, batch_avg=batch_avg,
+                                 err_bits=err_bits)
             logits = self.model.apply({'params': params}, x, ctx)
             return logits, ctx.finalize()
 

@@ -1,0 +1,111 @@
+"""Auxiliary components: error stats, mix clipping, measurement, tracker,
+clippers, results log, dataset helpers, bias study."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cnn_quantization_tpu.models import build_model
+from cnn_quantization_tpu.engine import QuantPolicy, QuantEngine, TapContext
+from cnn_quantization_tpu.calib.calibrator import collect_statistics
+
+
+@pytest.fixture(scope='module')
+def setup():
+    model, meta = build_model('resnet18')
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, TapContext())['params']
+    rng = np.random.RandomState(0)
+    batches = [(rng.rand(2, 64, 64, 3).astype(np.float32), np.zeros(2, np.int32))
+               for _ in range(2)]
+    return model, meta, params, batches
+
+
+def test_error_stats_collected_and_mix_clipping_works(setup):
+    model, meta, params, batches = setup
+    policy = QuantPolicy(arch='resnet18', qtype='int4', qweight='int8',
+                         clipping='mix')
+    eng = QuantEngine(model, policy, meta)
+    stats = collect_statistics(eng.jit_collect(err_bits=4), params, batches)
+    e = stats['conv1_activation']
+    for k in ('scalar/mean_mse_lowp', 'scalar/mean_mse_gaus',
+              'scalar/mean_mse_laplace', 'scalar/mean_cos_laplace'):
+        assert k in e, sorted(e)
+    assert 0.9 < float(e['scalar/mean_cos_laplace']) <= 1.0
+    # mix clipping consumes the error stats without blowing up
+    pq = eng.quantize_params(params)
+    logits, _ = eng.jit_forward()(pq, stats, jnp.asarray(batches[0][0]))
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_measure_statistics(tmp_path, setup):
+    model, meta, params, batches = setup
+    policy = QuantPolicy(arch='resnet18', qtype='int4', qweight='int4',
+                         pcq_weights=True, pcq_act=True)
+    eng = QuantEngine(model, policy, meta)
+    pq = eng.quantize_params(params)
+    from cnn_quantization_tpu.calib.measure import measure_statistics, save_measure_csv
+    frames = measure_statistics(eng, params, pq, batches, max_batches=1)
+    assert 'conv1_activation' in frames
+    df = frames['conv1_activation']
+    assert {'norm_fp', 'norm_q', 'mse', 'cos', 'rel_err'} <= set(df.columns)
+    assert 0.5 < df['cos'].iloc[0] <= 1.0
+    path = save_measure_csv(frames, str(tmp_path), 'resnet18')
+    assert os.path.exists(path)
+
+
+def test_metrics_tracker(tmp_path):
+    from cnn_quantization_tpu.utils.tracker import MetricsTracker
+    with MetricsTracker(str(tmp_path), 'exp', name='t') as tr:
+        tr.log_metric('top1', 73.3)
+        tr.log_metric('e', 2.0, step='auto', meter_id='avg.ent', weight=10)
+        tr.log_metric('e', 4.0, step='auto', meter_id='avg.ent', weight=30)
+        assert abs(tr.meters['avg.ent'].avg - 3.5) < 1e-9
+        d = tr.dir
+    lines = [json.loads(l) for l in open(os.path.join(d, 'metrics.jsonl'))]
+    assert any(l['key'] == 'top1' for l in lines)
+    assert any(l['key'] == 'avg.avg.ent' for l in lines)
+
+
+def test_clippers():
+    from cnn_quantization_tpu.ops.clippers import ratio_clip, statistical_clip
+    x = jnp.asarray(np.random.RandomState(0).laplace(0, 1, 1000).astype(np.float32))
+    rc = ratio_clip(x, 0.5)
+    assert float(jnp.max(jnp.abs(rc))) <= 0.5 * float(jnp.max(jnp.abs(x))) + 1e-6
+    sc = statistical_clip(x, 1.0)
+    assert float(jnp.max(jnp.abs(sc))) <= float(jnp.max(jnp.abs(x)))
+
+
+def test_results_log(tmp_path):
+    from cnn_quantization_tpu.utils.results_log import ResultsLog
+    rl = ResultsLog(str(tmp_path / 'res'))
+    rl.add(epoch=1, top1=50.0)
+    rl.add(epoch=2, top1=60.0)
+    rl.save()
+    rl2 = ResultsLog(str(tmp_path / 'res')).load()
+    assert list(rl2.df['top1']) == [50.0, 60.0]
+
+
+def test_dataset_helpers():
+    from cnn_quantization_tpu.data.dataset import (limit_samples, by_class,
+                                                   index_view,
+                                                   sample_with_replacement)
+    samples = [(f'p{i}', i % 3) for i in range(9)]
+    assert len(limit_samples(samples, 4)) == 4
+    assert all(l == 1 for _, l in by_class(samples, [1]))
+    assert index_view(samples, [2, 0]) == [samples[2], samples[0]]
+    assert len(sample_with_replacement(samples, 20)) == 20
+
+
+def test_bias_correction_study(setup):
+    model, meta, params, _ = setup
+    from cnn_quantization_tpu.analysis.bias_correction import channel_bias
+    rows = channel_bias(params, num_bits=4)
+    assert rows
+    q, c = next(iter(rows.values()))
+    # correction should reduce the mean normalized bias dramatically
+    assert c.mean() < q.mean() * 0.1
