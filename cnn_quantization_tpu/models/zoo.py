@@ -37,6 +37,10 @@ def build_model(arch: str, fold_bn: bool | None = None, num_classes: int = 1000,
         return model, ModelMeta(
             arch=arch, fold_bn=fold_bn, input_size=299,
             eight_bit_weight_names=('Conv2d_1a_3x3', 'Conv2d_2a_3x3'))
+    if arch == 'shufflenet':
+        from .shufflenet import build_shufflenet
+        return build_shufflenet(groups=8, num_classes=num_classes), ModelMeta(
+            arch=arch, fold_bn=False)
     if arch == 'mobilenet_v2' or arch == 'mobilenetv2':
         from .mobilenetv2 import build_mobilenet_v2
         model = build_mobilenet_v2(num_classes, fold_bn=fold_bn)
@@ -47,4 +51,5 @@ def build_model(arch: str, fold_bn: bool | None = None, num_classes: int = 1000,
 def available_archs():
     return ('resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
             'vgg11', 'vgg13', 'vgg16', 'vgg19', 'vgg16_bn', 'alexnet',
-            'squeezenet1_0', 'squeezenet1_1', 'inception_v3', 'mobilenet_v2')
+            'squeezenet1_0', 'squeezenet1_1', 'inception_v3', 'mobilenet_v2',
+            'shufflenet')
