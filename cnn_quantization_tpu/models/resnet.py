@@ -39,6 +39,8 @@ class BlockSpec:
     ds_sites: tuple  # (conv_site, bn_site) or ()
     conv_sites: tuple  # ((conv_site, bn_site), ...) per conv in the block
     dtype: str = 'float32'
+    groups: int = 1       # ResNeXt cardinality (torchvision Bottleneck)
+    base_width: int = 64  # WideResNet width_per_group
 
     @property
     def out_planes(self) -> int:
@@ -80,14 +82,16 @@ class Bottleneck(nn.Module):
         fold = s.fold_bn
         dt = jnp.dtype(s.dtype)
         identity = x
+        width = int(s.planes * (s.base_width / 64.0)) * s.groups
         (c1, b1), (c2, b2), (c3, b3) = s.conv_sites
-        out = QConv(s.planes, 1, 1, 0, use_bias=fold, site=c1, dtype=dt, name='conv1')(x, ctx)
+        out = QConv(width, 1, 1, 0, use_bias=fold, site=c1, dtype=dt, name='conv1')(x, ctx)
         if not fold:
-            out = QBatchNorm(s.planes, site=b1, name='bn1')(out, ctx)
+            out = QBatchNorm(width, site=b1, name='bn1')(out, ctx)
         out = relu(out)
-        out = QConv(s.planes, 3, s.stride, 1, use_bias=fold, site=c2, dtype=dt, name='conv2')(out, ctx)
+        out = QConv(width, 3, s.stride, 1, groups=s.groups, use_bias=fold,
+                    site=c2, dtype=dt, name='conv2')(out, ctx)
         if not fold:
-            out = QBatchNorm(s.planes, site=b2, name='bn2')(out, ctx)
+            out = QBatchNorm(width, site=b2, name='bn2')(out, ctx)
         out = relu(out)
         out = QConv(s.out_planes, 1, 1, 0, use_bias=fold, site=c3, dtype=dt, name='conv3')(out, ctx)
         if not fold:
@@ -131,29 +135,40 @@ class ResNet(nn.Module):
 
 
 _LAYER_CFG = {
-    'resnet18': ('basic', (2, 2, 2, 2)),
-    'resnet34': ('basic', (3, 4, 6, 3)),
-    'resnet50': ('bottleneck', (3, 4, 6, 3)),
-    'resnet101': ('bottleneck', (3, 4, 23, 3)),
-    'resnet152': ('bottleneck', (3, 8, 36, 3)),
+    # arch: (block kind, stage depths, groups, width_per_group)
+    'resnet18': ('basic', (2, 2, 2, 2), 1, 64),
+    'resnet34': ('basic', (3, 4, 6, 3), 1, 64),
+    'resnet50': ('bottleneck', (3, 4, 6, 3), 1, 64),
+    'resnet101': ('bottleneck', (3, 4, 23, 3), 1, 64),
+    'resnet152': ('bottleneck', (3, 8, 36, 3), 1, 64),
+    'resnext50_32x4d': ('bottleneck', (3, 4, 6, 3), 32, 4),
+    'resnext101_32x8d': ('bottleneck', (3, 4, 23, 3), 32, 8),
+    'wide_resnet50_2': ('bottleneck', (3, 4, 6, 3), 1, 128),
+    'wide_resnet101_2': ('bottleneck', (3, 4, 23, 3), 1, 128),
 }
 
 
 def build_resnet(arch: str, fold_bn: bool = True, num_classes: int = 1000,
-                 dtype: str = 'float32') -> ResNet:
+                 dtype: str = 'float32', mark_relu: bool | None = None) -> ResNet:
     """Build a ResNet with reference-compatible site numbering.
 
     Construction-order rules replicated from torchvision + the reference:
       * stem conv/bn first,
       * per stage: downsample conv/bn constructed *before* block 0's convs,
-      * before_relu half-range marks per utils/mark_relu.py:4-29.
+      * before_relu half-range marks per utils/mark_relu.py:4-29, applied
+        only when ``'resnet' in arch`` (inference_sim.py:175-177) — so
+        resnext* is neither marked nor BN-folded in the reference, while
+        wide_resnet* is both.
     """
-    kind, depths = _LAYER_CFG[arch]
+    kind, depths, groups, base_width = _LAYER_CFG[arch]
     bottleneck = kind == 'bottleneck'
     expansion = 4 if bottleneck else 1
+    if mark_relu is None:
+        mark_relu = 'resnet' in arch
+    hr = mark_relu  # half_range on before-relu sites
     namer = SiteNamer()
 
-    stem = (namer.conv(half_range=True), namer.bn(half_range=True), namer.maxpool())
+    stem = (namer.conv(half_range=hr), namer.bn(half_range=hr), namer.maxpool())
 
     in_planes = 64
     stages = []
@@ -167,19 +182,20 @@ def build_resnet(arch: str, fold_bn: bool = True, num_classes: int = 1000,
             ds_sites = (namer.conv(), namer.bn()) if has_ds else ()
             if bottleneck:
                 conv_sites = (
-                    (namer.conv(half_range=True), namer.bn(half_range=True)),
-                    (namer.conv(half_range=True), namer.bn(half_range=True)),
+                    (namer.conv(half_range=hr), namer.bn(half_range=hr)),
+                    (namer.conv(half_range=hr), namer.bn(half_range=hr)),
                     (namer.conv(), namer.bn()),
                 )
             else:
                 conv_sites = (
-                    (namer.conv(half_range=True), namer.bn(half_range=True)),
+                    (namer.conv(half_range=hr), namer.bn(half_range=hr)),
                     (namer.conv(), namer.bn()),
                 )
             blocks.append(BlockSpec(
                 planes=planes, stride=blk_stride, in_planes=in_planes,
                 bottleneck=bottleneck, fold_bn=fold_bn, has_downsample=has_ds,
-                ds_sites=ds_sites, conv_sites=conv_sites, dtype=dtype))
+                ds_sites=ds_sites, conv_sites=conv_sites, dtype=dtype,
+                groups=groups, base_width=base_width))
             in_planes = planes * expansion
         stages.append(tuple(blocks))
 

@@ -8,16 +8,22 @@ from __future__ import annotations
 
 from ..engine.engine import ModelMeta
 
-# archs the reference BN-folds (inference_sim.py:179-182)
+# archs the reference BN-folds: ``'resnet' in arch or vgg16_bn or
+# inception_v3`` (inference_sim.py:179-182) — note resnext* does NOT contain
+# 'resnet' so it is neither folded nor before-relu marked, while wide_resnet*
+# is both.
 _FOLDED = ('resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
+           'wide_resnet50_2', 'wide_resnet101_2',
            'vgg16_bn', 'vgg11_bn', 'vgg13_bn', 'vgg19_bn', 'inception_v3')
+
+_RESNET_FAMILY = ('resnet', 'resnext', 'wide_resnet')
 
 
 def build_model(arch: str, fold_bn: bool | None = None, num_classes: int = 1000,
                 dtype: str = 'float32'):
     if fold_bn is None:
         fold_bn = arch in _FOLDED
-    if arch.startswith('resnet'):
+    if arch.startswith(_RESNET_FAMILY):
         from .resnet import build_resnet
         model = build_resnet(arch, fold_bn=fold_bn, num_classes=num_classes, dtype=dtype)
         return model, ModelMeta(arch=arch, fold_bn=fold_bn)
@@ -37,6 +43,12 @@ def build_model(arch: str, fold_bn: bool | None = None, num_classes: int = 1000,
         return model, ModelMeta(
             arch=arch, fold_bn=fold_bn, input_size=299,
             eight_bit_weight_names=('Conv2d_1a_3x3', 'Conv2d_2a_3x3'))
+    if arch.startswith('densenet'):
+        from .densenet import build_densenet
+        return build_densenet(arch, num_classes), ModelMeta(arch=arch, fold_bn=False)
+    if arch == 'googlenet':
+        from .googlenet import build_googlenet
+        return build_googlenet(num_classes), ModelMeta(arch=arch, fold_bn=False)
     if arch == 'shufflenet':
         from .shufflenet import build_shufflenet
         return build_shufflenet(groups=8, num_classes=num_classes), ModelMeta(
@@ -50,6 +62,9 @@ def build_model(arch: str, fold_bn: bool | None = None, num_classes: int = 1000,
 
 def available_archs():
     return ('resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
+            'resnext50_32x4d', 'resnext101_32x8d',
+            'wide_resnet50_2', 'wide_resnet101_2',
             'vgg11', 'vgg13', 'vgg16', 'vgg19', 'vgg16_bn', 'alexnet',
             'squeezenet1_0', 'squeezenet1_1', 'inception_v3', 'mobilenet_v2',
-            'shufflenet')
+            'densenet121', 'densenet161', 'densenet169', 'densenet201',
+            'googlenet', 'shufflenet')

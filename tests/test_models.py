@@ -14,6 +14,10 @@ from cnn_quantization_tpu.engine.qparams import discover_sites
 CASES = [
     ('resnet18', 64, 11.68, 20, 'linear0_activation'),
     ('resnet50', 64, 25.55, 53, 'linear0_activation'),
+    # resnext is unfolded (no 'resnet' substring -> no BN fold), so params
+    # include BN mean/var; wide_resnet folds (inference_sim.py:179-182)
+    ('resnext50_32x4d', 64, 25.10, 53, 'linear0_activation'),
+    ('wide_resnet50_2', 64, 68.85, 53, 'linear0_activation'),
     ('vgg16', 64, None, 13, 'linear2_activation'),
     ('alexnet', 224, 61.10, 5, 'linear2_activation'),
     ('squeezenet1_0', 224, 1.25, 26, None),

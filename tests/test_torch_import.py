@@ -135,3 +135,286 @@ def test_resnet18_synthetic_checkpoint_roundtrip():
     out = model.apply({'params': params}, x, TapContext())
     assert out.shape == (2, 1000)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _torch_bottleneck_resnet(depths, groups, base_width):
+    """Minimal torchvision-compatible Bottleneck ResNet (same state_dict
+    keys: conv1/bn1/layerX.Y.{conv,bn}{1,2,3}/downsample.{0,1}/fc)."""
+    tnn = torch.nn
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, inplanes, planes, stride, downsample):
+            super().__init__()
+            width = int(planes * (base_width / 64.0)) * groups
+            self.conv1 = tnn.Conv2d(inplanes, width, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(width)
+            self.conv2 = tnn.Conv2d(width, width, 3, stride, 1,
+                                    groups=groups, bias=False)
+            self.bn2 = tnn.BatchNorm2d(width)
+            self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.relu = tnn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return self.relu(out + idt)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            for li, d in enumerate(depths):
+                planes, stride = 64 * 2 ** li, (1 if li == 0 else 2)
+                blocks = []
+                for b in range(d):
+                    st = stride if b == 0 else 1
+                    ds = None
+                    if b == 0 and (st != 1 or self.inplanes != planes * 4):
+                        ds = tnn.Sequential(
+                            tnn.Conv2d(self.inplanes, planes * 4, 1, st, bias=False),
+                            tnn.BatchNorm2d(planes * 4))
+                    blocks.append(Bottleneck(self.inplanes, planes, st, ds))
+                    self.inplanes = planes * 4
+                setattr(self, f'layer{li + 1}', tnn.Sequential(*blocks))
+            self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+            self.fc = tnn.Linear(512 * 4, 1000)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for li in range(len(depths)):
+                x = getattr(self, f'layer{li + 1}')(x)
+            return self.fc(self.avgpool(x).flatten(1))
+
+    return Net()
+
+
+@pytest.mark.parametrize('arch,groups,base_width',
+                         [('resnext50_32x4d', 32, 4),
+                          ('wide_resnet50_2', 1, 128)])
+def test_resnext_wide_resnet_match_torch(arch, groups, base_width):
+    """Grouped-conv / wide bottleneck parity: random-weight torch model vs
+    our converted Flax model must agree on logits.
+
+    Reference gating (inference_sim.py:175-182): 'resnet' in arch -> BN fold
+    + before-relu marking, so wide_resnet* folds and resnext* does not.
+    """
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import TapContext
+    from cnn_quantization_tpu.utils.torch_import import import_arch
+
+    torch.manual_seed(0)
+    tm = _torch_bottleneck_resnet((3, 4, 6, 3), groups, base_width).eval()
+    # non-trivial BN running stats so folding is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = tm(x).numpy()
+
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    model, meta = build_model(arch)
+    assert meta.fold_bn == (arch == 'wide_resnet50_2')
+    params = import_arch(arch, state, fold_bn=meta.fold_bn)
+    got = model.apply({'params': params},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+
+
+def _torch_densenet(growth=32, blocks=(6, 12, 24, 16), init_feat=64, bn_size=4):
+    """Minimal torchvision-compatible DenseNet (same state_dict keys)."""
+    tnn = torch.nn
+    from collections import OrderedDict
+
+    class DenseLayer(tnn.Module):
+        def __init__(self, in_ch):
+            super().__init__()
+            self.norm1 = tnn.BatchNorm2d(in_ch)
+            self.relu1 = tnn.ReLU(inplace=True)
+            self.conv1 = tnn.Conv2d(in_ch, bn_size * growth, 1, bias=False)
+            self.norm2 = tnn.BatchNorm2d(bn_size * growth)
+            self.relu2 = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(bn_size * growth, growth, 3, padding=1, bias=False)
+
+        def forward(self, x):
+            return self.conv2(self.relu2(self.norm2(
+                self.conv1(self.relu1(self.norm1(x))))))
+
+    class DenseBlock(tnn.Module):
+        def __init__(self, n, in_ch):
+            super().__init__()
+            for j in range(n):
+                self.add_module(f'denselayer{j + 1}', DenseLayer(in_ch + j * growth))
+
+        def forward(self, x):
+            for layer in self.children():
+                x = torch.cat([x, layer(x)], 1)
+            return x
+
+    class Transition(tnn.Module):
+        def __init__(self, in_ch, out_ch):
+            super().__init__()
+            self.norm = tnn.BatchNorm2d(in_ch)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv = tnn.Conv2d(in_ch, out_ch, 1, bias=False)
+            self.pool = tnn.AvgPool2d(2, 2)
+
+        def forward(self, x):
+            return self.pool(self.conv(self.relu(self.norm(x))))
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = OrderedDict([
+                ('conv0', tnn.Conv2d(3, init_feat, 7, 2, 3, bias=False)),
+                ('norm0', tnn.BatchNorm2d(init_feat)),
+                ('relu0', tnn.ReLU(inplace=True)),
+                ('pool0', tnn.MaxPool2d(3, 2, 1))])
+            ch = init_feat
+            for i, n in enumerate(blocks):
+                feats[f'denseblock{i + 1}'] = DenseBlock(n, ch)
+                ch += n * growth
+                if i != len(blocks) - 1:
+                    feats[f'transition{i + 1}'] = Transition(ch, ch // 2)
+                    ch //= 2
+            feats['norm5'] = tnn.BatchNorm2d(ch)
+            self.features = tnn.Sequential(feats)
+            self.classifier = tnn.Linear(ch, 1000)
+
+        def forward(self, x):
+            h = torch.relu(self.features(x))
+            return self.classifier(torch.mean(h, dim=(2, 3)))
+
+    return Net()
+
+
+def test_densenet121_matches_torch():
+    """DenseNet pre-activation/concat parity: random-weight torch model vs
+    converted Flax model (no BN folding: densenet is never folded —
+    inference_sim.py:179-182)."""
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import TapContext
+    from cnn_quantization_tpu.utils.torch_import import import_arch
+
+    torch.manual_seed(0)
+    tm = _torch_densenet().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        want = tm(x).numpy()
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    model, meta = build_model('densenet121')
+    assert not meta.fold_bn
+    params = import_arch('densenet121', state, fold_bn=False)
+    got = model.apply({'params': params},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+
+
+def _torch_googlenet():
+    """Minimal torchvision-compatible GoogLeNet (eval path, no aux)."""
+    tnn = torch.nn
+
+    class BasicConv2d(tnn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+        def forward(self, x):
+            return torch.relu(self.bn(self.conv(x)))
+
+    class Inception(tnn.Module):
+        def __init__(self, cin, c1, c3r, c3, c5r, c5, pp):
+            super().__init__()
+            self.branch1 = BasicConv2d(cin, c1, kernel_size=1)
+            self.branch2 = tnn.Sequential(
+                BasicConv2d(cin, c3r, kernel_size=1),
+                BasicConv2d(c3r, c3, kernel_size=3, padding=1))
+            self.branch3 = tnn.Sequential(
+                BasicConv2d(cin, c5r, kernel_size=1),
+                BasicConv2d(c5r, c5, kernel_size=3, padding=1))
+            self.branch4 = tnn.Sequential(
+                tnn.MaxPool2d(3, stride=1, padding=1, ceil_mode=True),
+                BasicConv2d(cin, pp, kernel_size=1))
+
+        def forward(self, x):
+            return torch.cat([self.branch1(x), self.branch2(x),
+                              self.branch3(x), self.branch4(x)], 1)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = BasicConv2d(3, 64, kernel_size=7, stride=2, padding=3)
+            self.maxpool1 = tnn.MaxPool2d(3, 2, ceil_mode=True)
+            self.conv2 = BasicConv2d(64, 64, kernel_size=1)
+            self.conv3 = BasicConv2d(64, 192, kernel_size=3, padding=1)
+            self.maxpool2 = tnn.MaxPool2d(3, 2, ceil_mode=True)
+            self.inception3a = Inception(192, 64, 96, 128, 16, 32, 32)
+            self.inception3b = Inception(256, 128, 128, 192, 32, 96, 64)
+            self.maxpool3 = tnn.MaxPool2d(3, 2, ceil_mode=True)
+            self.inception4a = Inception(480, 192, 96, 208, 16, 48, 64)
+            self.inception4b = Inception(512, 160, 112, 224, 24, 64, 64)
+            self.inception4c = Inception(512, 128, 128, 256, 24, 64, 64)
+            self.inception4d = Inception(512, 112, 144, 288, 32, 64, 64)
+            self.inception4e = Inception(528, 256, 160, 320, 32, 128, 128)
+            self.maxpool4 = tnn.MaxPool2d(2, 2, ceil_mode=True)
+            self.inception5a = Inception(832, 256, 160, 320, 32, 128, 128)
+            self.inception5b = Inception(832, 384, 192, 384, 48, 128, 128)
+            self.fc = tnn.Linear(1024, 1000)
+
+        def forward(self, x):
+            # torchvision transform_input (pretrained googlenet)
+            x0 = x[:, 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+            x1 = x[:, 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+            x2 = x[:, 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+            x = torch.cat([x0, x1, x2], 1)
+            x = self.maxpool1(self.conv1(x))
+            x = self.maxpool2(self.conv3(self.conv2(x)))
+            x = self.maxpool3(self.inception3b(self.inception3a(x)))
+            x = self.inception4e(self.inception4d(self.inception4c(
+                self.inception4b(self.inception4a(x)))))
+            x = self.maxpool4(x)
+            x = self.inception5b(self.inception5a(x))
+            return self.fc(torch.mean(x, dim=(2, 3)))
+
+    return Net()
+
+
+def test_googlenet_matches_torch():
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import TapContext
+    from cnn_quantization_tpu.utils.torch_import import import_arch
+
+    torch.manual_seed(0)
+    tm = _torch_googlenet().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+    x = torch.randn(2, 3, 96, 96)
+    with torch.no_grad():
+        want = tm(x).numpy()
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    model, meta = build_model('googlenet')
+    assert not meta.fold_bn
+    params = import_arch('googlenet', state, fold_bn=False)
+    got = model.apply({'params': params},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
