@@ -49,7 +49,7 @@ def build_parser():
                    help='stochastic rounding (Pallas PRNG path)')
     p.add_argument('--eval_precision', '-ep', action='store_true', default=False)
     p.add_argument('--clipping', '-c', default='no',
-                   help='[no, gaus, laplace, <p>std, mix]')
+                   help='[no, gaus, laplace, exp, <p>std, mix]')
     p.add_argument('--stats_mode', '-sm', default='no', help='[collect, use, no]')
     p.add_argument('--stats_kind', '-sk', default='mean', help='[mean, max]')
     p.add_argument('--stats_folder', '-sf', default=None)

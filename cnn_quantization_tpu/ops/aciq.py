@@ -146,3 +146,28 @@ def alpha_gaus(std, num_bits, *, half_range: bool):
 def alpha_pstd(std, p):
     """alpha = p * sigma ("2std"-style clipping, int_quantizer.py:266-275)."""
     return jnp.asarray(p, jnp.float32) * jnp.asarray(std, jnp.float32)
+
+
+# Exponential-prior alpha coefficients, bits 0..8.  The reference declares an
+# 'exp' clipping mode but never defines its alpha table, so ``-c exp``
+# crashes (int_quantizer.py:277-282; SURVEY.md §7 known-bugs).  Here the mode
+# is derived properly: for a one-sided Exponential(beta) prior clipped at
+# alpha and quantized to 2^M levels over [0, alpha],
+#   MSE(alpha) = 2 beta^2 e^{-alpha/beta} + alpha^2 / (12 * 4^M)
+# and d/dalpha = 0 gives (alpha/beta) e^{alpha/beta} = 12 * 4^M — a Lambert-W
+# solve shared with the mid-tread omega machinery above (a e^a = 3 omega^2
+# with omega = 2 * 2^M).
+def _exp_coeff(num_bits: int) -> float:
+    return float(_solve_alpha_for_omega(
+        np.asarray([2.0 * 2.0 ** num_bits]))[0])
+
+
+EXP_TABLE = jnp.asarray([_exp_coeff(m) for m in range(9)], jnp.float32)
+
+
+def alpha_exp(mean, num_bits):
+    """alpha = coeff(bits) * beta for a positive Exponential(beta) tensor
+    (beta = mean of the positive data; fixes the reference's broken
+    get_alpha_exp)."""
+    bits = jnp.clip(jnp.asarray(num_bits, jnp.int32), 0, 8)
+    return jnp.asarray(mean, jnp.float32) * jnp.take(EXP_TABLE, bits)

@@ -118,6 +118,15 @@ def _alpha(cfg: QuantConfig, x, site_stats, *, half_range: bool,
     if clip == 'gaus':
         std = _stat(site_stats, 'std', 'mean') if site_stats is not None else online('std')
         return aciq.alpha_gaus(std, cfg.num_bits, half_range=half)
+    if clip == 'exp':
+        # exponential prior: alpha = coeff(bits) * mean_abs (the reference's
+        # -c exp crashes on an undefined table — fixed here, ops/aciq.py)
+        # mean_abs exists only in the per-tensor stat set; fall back online
+        if site_stats is not None and 'mean_mean_abs' in site_stats:
+            m = _stat(site_stats, 'mean_abs', 'mean')
+        else:
+            m = online('mean_abs')
+        return aciq.alpha_exp(m, cfg.num_bits)
     if clip.endswith('std'):
         p = float(clip[:-len('std')])
         std = _stat(site_stats, 'std', 'mean') if site_stats is not None else online('std')

@@ -59,3 +59,40 @@ def test_gaussian_table_against_closed_form():
         res = minimize_scalar(lambda a: aciq.gaussian_clipping_mse(1.0, a, bits),
                               bounds=(0.1, 10.0), method='bounded')
         assert abs(res.x - aciq.ALPHA_GAUS[bits]) < 0.05
+
+
+def test_alpha_exp_minimizes_exponential_mse():
+    # exp-prior MSE(a) = 2 e^{-a} + a^2 / (12 * 4^M) (beta=1); the table
+    # coefficient must beat any nearby alpha (reference's -c exp crashes on
+    # an undefined table — int_quantizer.py:277-282)
+    for bits in (2, 4, 8):
+        coeff = float(np.asarray(aciq.alpha_exp(1.0, bits)))
+
+        def mse(a, M=bits):
+            return 2.0 * np.exp(-a) + a ** 2 / (12.0 * 4.0 ** M)
+
+        grid = np.linspace(0.1, 40.0, 20000)
+        best = grid[np.argmin([mse(a) for a in grid])]
+        assert abs(coeff - best) < 0.01, (bits, coeff, best)
+    # scales linearly with beta
+    a1 = float(np.asarray(aciq.alpha_exp(1.0, 4)))
+    a3 = float(np.asarray(aciq.alpha_exp(3.0, 4)))
+    assert abs(a3 - 3 * a1) < 1e-4
+
+
+def test_exp_clipping_end_to_end():
+    import jax.numpy as jnp
+    from cnn_quantization_tpu.ops.quantizer import quantize_activation
+    from cnn_quantization_tpu.engine.policy import QuantPolicy
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.exponential(0.7, size=(2, 8, 8, 16)).astype(np.float32))
+    policy = QuantPolicy(arch='resnet18', qtype='int4', qweight='int4',
+                         clipping='exp')
+    cfg = policy.tag_configs()['activation']
+    out, _ = quantize_activation(x, cfg, half_range=True, site_stats=None,
+                                 channel_axis=-1, tag='activation')
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    # quantized output is close (clipping keeps most mass)
+    err = np.mean((out - np.asarray(x)) ** 2) / np.mean(np.asarray(x) ** 2)
+    assert err < 0.1
