@@ -66,6 +66,20 @@ class ServingInt8Context(TapContext):
     mode = 'serving_int8'
     int8_serving = True
 
+    def __init__(self, act_scales: Mapping[str, Any] | None = None):
+        # optional frozen per-conv input scales (site_id -> scalar f32) from
+        # calibration; absent entries fall back to dynamic abs-max quant,
+        # whose scale is recorded (aux output) so a calibration run can
+        # freeze it — see QuantEngine.freeze_serving_scales
+        self.act_scales = dict(act_scales or {})
+        self.recorded: dict[str, Any] = {}
+
+    def record_scale(self, site_id: str, scale):
+        self.recorded[site_id] = scale
+
+    def finalize(self):
+        return dict(self.recorded)
+
 
 class CollectContext(TapContext):
     """Collect calibration statistics (reference StatsMode.collect_stats).

@@ -108,16 +108,19 @@ class QuantEngine:
     # ------------------------------------------------------------------
     # Step functions
     # ------------------------------------------------------------------
-    def make_forward(self, quantized: bool = True, qparams=None) -> Callable:
+    def make_forward(self, quantized: bool = True, qparams=None,
+                     act_scales=None) -> Callable:
         """Returns f(params, stats, x) -> (logits, aux).  ``stats`` is the
         calibration pytree (may be None); passed as an argument so new stats
         do not retrigger compilation.  ``qparams`` (from ``freeze_qparams``)
-        enables the frozen fast path per site."""
+        enables the frozen fast path per site.  ``act_scales`` (from
+        ``freeze_serving_scales``) freezes the serving-int8 activation
+        scales, removing the per-conv dynamic abs-max pass."""
 
         def fwd(params, stats, x):
             if quantized == 'serving_int8':
                 from .context import ServingInt8Context
-                ctx = ServingInt8Context()
+                ctx = ServingInt8Context(act_scales=act_scales)
             elif quantized and self.policy.qtype is not None:
                 ctx = QuantizeContext(self.policy, stats=stats,
                                       ignore_ids=self.ignore_ids,
@@ -128,6 +131,27 @@ class QuantEngine:
             return logits, ctx.finalize()
 
         return fwd
+
+    def freeze_serving_scales(self, params_q, batches, *,
+                              max_batches: int = 4) -> dict:
+        """Calibrate frozen serving-int8 activation scales: run the dynamic
+        serving forward over a few batches, recording each conv input's
+        abs-max scale, and keep the max across batches (so the frozen grid
+        covers the calibration range)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        fwd = jax.jit(self.make_forward(quantized='serving_int8'))
+        frozen: dict[str, float] = {}
+        for i, (images, _) in enumerate(batches):
+            if i >= max_batches:
+                break
+            _, recorded = fwd(params_q, None, jnp.asarray(images))
+            for site_id, scale in jax.device_get(recorded).items():
+                s = float(np.asarray(scale))
+                frozen[site_id] = max(frozen.get(site_id, 0.0), s)
+        return frozen
 
     def freeze_qparams(self, stats, input_shape=None):
         """Resolve static per-site quantization params from a stats artifact

@@ -80,17 +80,28 @@ class QConv(nn.Module):
             'kernel', nn.initializers.he_normal(),
             (kh, kw, in_ch // self.groups, self.features), jnp.float32)
         pad = _pair(self.padding)
-        if getattr(ctx, 'int8_serving', False) and self.groups == 1:
-            # true-int path: dynamic per-tensor act quant + per-channel int8
-            # weights on the MXU (ops/kernels/int_conv.py)
+        if getattr(ctx, 'int8_serving', False):
+            # true-int path: per-tensor act quant (frozen scale if the context
+            # carries one for this site) + per-channel int8 weights on the
+            # MXU's native int8 conv (ops/kernels/int_conv.py)
             from ..ops.kernels.int_conv import int8_conv, prepare_int8_weights
             w_codes, w_scale = prepare_int8_weights(kernel)
             bias = (self.param('bias', nn.initializers.zeros,
                                (self.features,), jnp.float32)
                     if self.use_bias else None)
+            act_scale = None
+            if self.site is not None:
+                act_scale = getattr(ctx, 'act_scales', {}).get(self.site.id)
+            if act_scale is None:
+                # dynamic abs-max; record so calibration can freeze it
+                xf32 = x.astype(jnp.float32)
+                act_scale = jnp.maximum(jnp.max(jnp.abs(xf32)) / 127.0, 1e-8)
+                if self.site is not None and hasattr(ctx, 'record_scale'):
+                    ctx.record_scale(self.site.id, act_scale)
             y = int8_conv(x.astype(jnp.float32), w_codes, w_scale, bias,
-                          kernel_size=(kh, kw), strides=_pair(self.strides),
-                          padding=pad, out_dtype=self.dtype)
+                          strides=_pair(self.strides), padding=pad,
+                          groups=self.groups, act_scale=act_scale,
+                          out_dtype=self.dtype)
             if self.site is not None:
                 y = ctx.tap(y, self.site)
             return y

@@ -9,6 +9,7 @@ import pytest
 from cnn_quantization_tpu.ops.kernels.int_matmul import (int8_matmul_dequant,
                                                          quantize_sym_int8)
 from cnn_quantization_tpu.ops.kernels.int_conv import (int8_conv,
+                                                       int8_conv_im2col,
                                                        prepare_int8_weights)
 
 
@@ -50,24 +51,25 @@ def test_quantize_sym_int8_roundtrip():
     assert np.abs(deq_c - x).max() <= np.max(scale_c) * 0.5 + 1e-6
 
 
+@pytest.mark.parametrize('conv_fn', [int8_conv, int8_conv_im2col],
+                         ids=['native', 'im2col'])
 @pytest.mark.parametrize('kh,stride,pad', [(1, 1, 0), (3, 1, 1), (3, 2, 1)])
-def test_int8_conv_matches_dequantized_float_conv(kh, stride, pad):
+def test_int8_conv_matches_dequantized_float_conv(kh, stride, pad, conv_fn):
     rng = np.random.RandomState(3)
     x = rng.randn(2, 14, 14, 16).astype(np.float32)
     w = (rng.randn(kh, kh, 16, 32).astype(np.float32) * 0.1)
     bias = rng.randn(32).astype(np.float32)
 
     w_codes, w_scale = prepare_int8_weights(jnp.asarray(w))
-    got = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
-                               jnp.asarray(bias), kernel_size=(kh, kh),
-                               strides=(stride, stride), padding=(pad, pad),
-                               interpret=True))
+    got = np.asarray(conv_fn(jnp.asarray(x), w_codes, w_scale,
+                             jnp.asarray(bias),
+                             strides=(stride, stride), padding=(pad, pad),
+                             interpret=True))
 
     # exact reference: float conv of the dequantized tensors
     x_q, x_scale = quantize_sym_int8(jnp.asarray(x))
     x_deq = np.asarray(x_q, np.float32) * float(x_scale)
-    w_deq = (np.asarray(w_codes, np.float32)
-             .reshape(kh, kh, 16, 32) * np.asarray(w_scale))
+    w_deq = np.asarray(w_codes, np.float32) * np.asarray(w_scale)
     want = lax.conv_general_dilated(
         jnp.asarray(x_deq), jnp.asarray(w_deq), (stride, stride),
         ((pad, pad), (pad, pad)),
@@ -82,3 +84,37 @@ def test_int8_conv_matches_dequantized_float_conv(kh, stride, pad):
     rel = (np.linalg.norm(got - np.asarray(true))
            / np.linalg.norm(np.asarray(true)))
     assert rel < 0.02, rel
+
+
+def test_int8_conv_grouped_matches_dequantized_float_conv():
+    rng = np.random.RandomState(4)
+    groups = 4
+    x = rng.randn(2, 8, 8, 16).astype(np.float32)
+    w = (rng.randn(3, 3, 16 // groups, 32).astype(np.float32) * 0.1)
+    w_codes, w_scale = prepare_int8_weights(jnp.asarray(w))
+    got = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                               strides=(1, 1), padding=(1, 1), groups=groups))
+    x_q, x_scale = quantize_sym_int8(jnp.asarray(x))
+    x_deq = np.asarray(x_q, np.float32) * float(x_scale)
+    w_deq = np.asarray(w_codes, np.float32) * np.asarray(w_scale)
+    want = lax.conv_general_dilated(
+        jnp.asarray(x_deq), jnp.asarray(w_deq), (1, 1), ((1, 1), (1, 1)),
+        feature_group_count=groups,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_int8_conv_frozen_act_scale():
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 8, 8, 8).astype(np.float32)
+    w = (rng.randn(1, 1, 8, 8).astype(np.float32) * 0.1)
+    w_codes, w_scale = prepare_int8_weights(jnp.asarray(w))
+    scale = float(np.abs(x).max() / 127.0)
+    frozen = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                                  act_scale=scale))
+    dynamic = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale))
+    np.testing.assert_allclose(frozen, dynamic, rtol=1e-5, atol=1e-5)
+    # a clipping frozen scale saturates instead of rescaling
+    clipped = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                                   act_scale=scale / 4))
+    assert np.isfinite(clipped).all()

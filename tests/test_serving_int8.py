@@ -18,3 +18,35 @@ def test_serving_int8_resnet18_close_to_fp32():
     rel = float(jnp.linalg.norm(l_int - l_fp) / jnp.linalg.norm(l_fp))
     assert rel < 0.05, rel
     assert bool((jnp.argmax(l_int, -1) == jnp.argmax(l_fp, -1)).all())
+
+
+def test_freeze_serving_scales_and_frozen_forward():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import QuantPolicy, QuantEngine, TapContext
+
+    model, meta = build_model('resnet18')
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, TapContext())['params']
+    policy = QuantPolicy(arch='resnet18', qtype='int8', qweight='int8')
+    eng = QuantEngine(model, policy, meta)
+    pq = eng.quantize_params(params)
+
+    rng = np.random.RandomState(0)
+    batches = [(rng.rand(2, 64, 64, 3).astype(np.float32), np.zeros(2, np.int32))
+               for _ in range(2)]
+    scales = eng.freeze_serving_scales(pq, batches)
+    assert len(scales) > 10 and all(s > 0 for s in scales.values())
+
+    fwd_frozen = jax.jit(eng.make_forward(quantized='serving_int8',
+                                          act_scales=scales))
+    fwd_dyn = jax.jit(eng.make_forward(quantized='serving_int8'))
+    im = jnp.asarray(batches[0][0])
+    lf, aux = fwd_frozen(pq, None, im)
+    ld, _ = fwd_dyn(pq, None, im)
+    # frozen path records nothing (all sites have scales)
+    assert aux == {}
+    rel = float(jnp.linalg.norm(lf - ld) / jnp.linalg.norm(ld))
+    assert rel < 0.05, rel
