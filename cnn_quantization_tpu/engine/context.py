@@ -66,12 +66,19 @@ class ServingInt8Context(TapContext):
     mode = 'serving_int8'
     int8_serving = True
 
-    def __init__(self, act_scales: Mapping[str, Any] | None = None):
+    def __init__(self, act_scales: Mapping[str, Any] | None = None,
+                 act_bits: int = 8, weight_bits: int = 8):
         # optional frozen per-conv input scales (site_id -> scalar f32) from
         # calibration; absent entries fall back to dynamic abs-max quant,
         # whose scale is recorded (aux output) so a calibration run can
-        # freeze it — see QuantEngine.freeze_serving_scales
+        # freeze it — see QuantEngine.freeze_serving_scales.
+        # act_bits/weight_bits < 8 narrow the code grid (codes still travel
+        # as int8 — the MXU int8 path runs at the same rate, only the
+        # representable levels shrink), so e.g. true-W4A4 serving uses the
+        # reference's headline bit widths with real integer arithmetic.
         self.act_scales = dict(act_scales or {})
+        self.act_bits = act_bits
+        self.weight_bits = weight_bits
         self.recorded: dict[str, Any] = {}
 
     def record_scale(self, site_id: str, scale):

@@ -120,7 +120,14 @@ class QuantEngine:
         def fwd(params, stats, x):
             if quantized == 'serving_int8':
                 from .context import ServingInt8Context
-                ctx = ServingInt8Context(act_scales=act_scales)
+                from .policy import parse_qtype_bits
+                act_bits = (parse_qtype_bits(self.policy.qtype)
+                            if self.policy.qtype else 8)
+                weight_bits = (parse_qtype_bits(self.policy.qweight)
+                               if self.policy.qweight not in (None, 'f32') else 8)
+                ctx = ServingInt8Context(act_scales=act_scales,
+                                         act_bits=min(act_bits, 8),
+                                         weight_bits=min(weight_bits, 8))
             elif quantized and self.policy.qtype is not None:
                 ctx = QuantizeContext(self.policy, stats=stats,
                                       ignore_ids=self.ignore_ids,

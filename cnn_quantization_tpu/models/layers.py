@@ -85,7 +85,9 @@ class QConv(nn.Module):
             # carries one for this site) + per-channel int8 weights on the
             # MXU's native int8 conv (ops/kernels/int_conv.py)
             from ..ops.kernels.int_conv import int8_conv, prepare_int8_weights
-            w_codes, w_scale = prepare_int8_weights(kernel)
+            act_bits = getattr(ctx, 'act_bits', 8)
+            w_bits = getattr(ctx, 'weight_bits', 8)
+            w_codes, w_scale = prepare_int8_weights(kernel, bits=w_bits)
             bias = (self.param('bias', nn.initializers.zeros,
                                (self.features,), jnp.float32)
                     if self.use_bias else None)
@@ -95,13 +97,14 @@ class QConv(nn.Module):
             if act_scale is None:
                 # dynamic abs-max; record so calibration can freeze it
                 xf32 = x.astype(jnp.float32)
-                act_scale = jnp.maximum(jnp.max(jnp.abs(xf32)) / 127.0, 1e-8)
+                qmax = 2.0 ** (act_bits - 1) - 1.0
+                act_scale = jnp.maximum(jnp.max(jnp.abs(xf32)) / qmax, 1e-8)
                 if self.site is not None and hasattr(ctx, 'record_scale'):
                     ctx.record_scale(self.site.id, act_scale)
             y = int8_conv(x.astype(jnp.float32), w_codes, w_scale, bias,
                           strides=_pair(self.strides), padding=pad,
-                          groups=self.groups, act_scale=act_scale,
-                          out_dtype=self.dtype)
+                          groups=self.groups, act_bits=act_bits,
+                          act_scale=act_scale, out_dtype=self.dtype)
             if self.site is not None:
                 y = ctx.tap(y, self.site)
             return y
@@ -132,8 +135,28 @@ class QLinear(nn.Module):
     def __call__(self, x, ctx: TapContext):
         kernel = self.param('kernel', nn.initializers.he_normal(),
                             (x.shape[-1], self.features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=jnp.float32)
+        if getattr(ctx, 'int8_serving', False):
+            # true-int path; classifier/linear stays 8-bit regardless of the
+            # conv bit widths (reference weight_classifier/
+            # activation_classifier policy, i_q_m.py:414, 437)
+            from ..ops.kernels.int_matmul import quantize_sym_int8
+            w_codes, w_scale = quantize_sym_int8(kernel, axis=-1, bits=8)
+            act_scale = None
+            if self.site is not None:
+                act_scale = getattr(ctx, 'act_scales', {}).get(self.site.id)
+            xf = x.astype(jnp.float32)
+            if act_scale is None:
+                act_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+                if self.site is not None and hasattr(ctx, 'record_scale'):
+                    ctx.record_scale(self.site.id, act_scale)
+            x_q = jnp.clip(jnp.round(xf / act_scale), -127, 127).astype(jnp.int8)
+            acc = lax.dot_general(
+                x_q, w_codes, (((x_q.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (act_scale * w_scale)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias

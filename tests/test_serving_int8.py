@@ -50,3 +50,36 @@ def test_freeze_serving_scales_and_frozen_forward():
     assert aux == {}
     rel = float(jnp.linalg.norm(lf - ld) / jnp.linalg.norm(ld))
     assert rel < 0.05, rel
+
+
+def test_serving_w4a4_true_arithmetic():
+    """qtype/qweight int4 narrow the serving grid (codes in [-7, 7]) while
+    still running integer MXU arithmetic — the reference's headline W4A4
+    configuration with real int math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import QuantPolicy, QuantEngine, TapContext
+
+    model, meta = build_model('resnet18')
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, TapContext())['params']
+    im = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                     .astype(np.float32))
+
+    def run(qtype):
+        policy = QuantPolicy(arch='resnet18', qtype=qtype, qweight=qtype)
+        eng = QuantEngine(model, policy, meta)
+        pq = eng.quantize_params(params)
+        fwd = jax.jit(eng.make_forward(quantized='serving_int8'))
+        logits, _ = fwd(pq, None, im)
+        return np.asarray(logits, np.float32)
+
+    l8 = run('int8')
+    l4 = run('int4')
+    assert np.isfinite(l4).all() and np.isfinite(l8).all()
+    # 4-bit serving differs from 8-bit (coarser grid) but stays in the
+    # same ballpark
+    rel = np.linalg.norm(l4 - l8) / np.linalg.norm(l8)
+    assert 1e-4 < rel < 1.0, rel
