@@ -44,6 +44,11 @@ def build_parser():
     p.add_argument('--qtype', default=None, help='data type: int[N]')
     p.add_argument('--qweight', '-qw', default='int8')
     p.add_argument('--q_off', action='store_true', help='disable quantization')
+    p.add_argument('--serving_int8', '-si8', action='store_true',
+                   help='true-integer deployment path: int8 MXU convs with '
+                        'frozen activation scales (bit widths from '
+                        '--qtype/--qweight, clamped to int8 grid); beyond '
+                        'the reference, which only simulates quantization')
     p.add_argument('--shuffle', '-sh', action='store_true')
     p.add_argument('--stochastic', '-s', action='store_true', default=False,
                    help='stochastic rounding (Pallas PRNG path)')
@@ -248,9 +253,19 @@ def main(argv=None):
     from ..utils.tracker import MetricsTracker
     experiment = args.mlf_experiment or args.arch
     name = f"{args.arch}_W{args.qweight}A{args.qtype}"
+    if args.serving_int8:
+        name += '_serving'
     with MetricsTracker('~/mlruns_mxt_tpu', experiment, args, name) as tracker:
-        res = run_eval(engine, params_q if policy.qtype else params,
-                       quantized=policy.qtype is not None)
+        if args.serving_int8:
+            print('=> serving-int8: calibrating frozen activation scales')
+            scales = engine.freeze_serving_scales(params_q, loader)
+            res = evaluate(engine, params_q, loader, stats=stats,
+                           quantized='serving_int8', act_scales=scales,
+                           subset=args.subset, print_freq=args.print_freq,
+                           verbose=True)
+        else:
+            res = run_eval(engine, params_q if policy.qtype else params,
+                           quantized=policy.qtype is not None)
         for k in ('top1', 'top5', 'loss'):
             tracker.log_metric(k, res[k])
         print(f" * Prec@1 {res['top1']:.3f} Prec@5 {res['top5']:.3f} "

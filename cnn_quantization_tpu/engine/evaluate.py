@@ -17,8 +17,10 @@ from ..utils.meters import AverageMeter, accuracy_counts, cross_entropy_sum
 from .engine import QuantEngine
 
 
-def make_eval_step(engine: QuantEngine, quantized: bool = True, qparams=None):
-    fwd = engine.make_forward(quantized, qparams=qparams)
+def make_eval_step(engine: QuantEngine, quantized: bool = True, qparams=None,
+                   act_scales=None):
+    fwd = engine.make_forward(quantized, qparams=qparams,
+                              act_scales=act_scales)
 
     @jax.jit
     def step(params, stats, images, labels):
@@ -33,11 +35,14 @@ def make_eval_step(engine: QuantEngine, quantized: bool = True, qparams=None):
 def evaluate(engine: QuantEngine, params, batches: Iterable, *,
              stats: Mapping[str, Any] | None = None, quantized: bool = True,
              subset: int | None = None, print_freq: int = 10,
-             verbose: bool = False, qparams=None) -> dict[str, float]:
+             verbose: bool = False, qparams=None,
+             act_scales=None) -> dict[str, float]:
     """Run the eval loop; returns {'top1', 'top5', 'loss', 'images_per_sec',
     'avg_entropy'(opt)}.  ``subset`` stops after N images
-    (inference_sim.py:294-296)."""
-    step = make_eval_step(engine, quantized, qparams=qparams)
+    (inference_sim.py:294-296).  ``quantized='serving_int8'`` runs the
+    true-integer deployment path (optionally with frozen ``act_scales``)."""
+    step = make_eval_step(engine, quantized, qparams=qparams,
+                          act_scales=act_scales)
     top1 = AverageMeter()
     top5 = AverageMeter()
     losses = AverageMeter()

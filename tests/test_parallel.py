@@ -70,3 +70,31 @@ def test_evaluate_sharded_loop(setup):
     res = evaluate_sharded(eng, pq, batches, mesh=make_mesh(data=4, model=2))
     assert set(res) >= {'top1', 'top5', 'loss', 'images_per_sec'}
     assert np.isfinite(res['loss'])
+
+
+def test_sharded_serving_int8_eval():
+    """True-int8 serving under the DP x TP mesh: int8 codes + scales shard
+    like any other pytree; GSPMD handles the collectives."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import QuantPolicy, QuantEngine, TapContext
+    from cnn_quantization_tpu.parallel import make_mesh, shard_params
+    from cnn_quantization_tpu.parallel.eval_parallel import make_sharded_eval_step
+
+    model, meta = build_model('resnet18')
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, TapContext())['params']
+    policy = QuantPolicy(arch='resnet18', qtype='int8', qweight='int8')
+    eng = QuantEngine(model, policy, meta)
+    pq = eng.quantize_params(params)
+
+    mesh = make_mesh(jax.devices()[:8], data=2, model=4)
+    ps = shard_params(pq, mesh)
+    step = make_sharded_eval_step(eng, mesh, pq, quantized='serving_int8')
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    labels = jnp.asarray(np.zeros(4, np.int32))
+    out = jax.device_get(step(ps, None, images, labels))
+    assert np.isfinite(out['loss'])
