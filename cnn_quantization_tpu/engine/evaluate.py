@@ -7,6 +7,8 @@ feeds batches and accumulates scalar meters.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from typing import Any, Iterable, Mapping
 
@@ -36,11 +38,18 @@ def evaluate(engine: QuantEngine, params, batches: Iterable, *,
              stats: Mapping[str, Any] | None = None, quantized: bool = True,
              subset: int | None = None, print_freq: int = 10,
              verbose: bool = False, qparams=None,
-             act_scales=None) -> dict[str, float]:
+             act_scales=None, resume_path: str | None = None,
+             checkpoint_every: int = 50) -> dict[str, float]:
     """Run the eval loop; returns {'top1', 'top5', 'loss', 'images_per_sec',
     'avg_entropy'(opt)}.  ``subset`` stops after N images
     (inference_sim.py:294-296).  ``quantized='serving_int8'`` runs the
-    true-integer deployment path (optionally with frozen ``act_scales``)."""
+    true-integer deployment path (optionally with frozen ``act_scales``).
+
+    ``resume_path``: JSON checkpoint of meter state written every
+    ``checkpoint_every`` batches; an interrupted run restarted with the same
+    path and a deterministic (unshuffled or same-seed) loader skips the
+    already-counted batches and continues the meters — eval-loop resume the
+    reference lacks (SURVEY.md §5, restart-from-scratch)."""
     step = make_eval_step(engine, quantized, qparams=qparams,
                           act_scales=act_scales)
     top1 = AverageMeter()
@@ -50,8 +59,23 @@ def evaluate(engine: QuantEngine, params, batches: Iterable, *,
     ent_sum = 0.0
     ent_weight = 0.0
     seen = 0
+    skip_batches = 0
+    if resume_path and os.path.exists(resume_path):
+        with open(resume_path) as f:
+            ck = json.load(f)
+        skip_batches = ck['batches']
+        seen = ck['seen']
+        ent_sum, ent_weight = ck['ent_sum'], ck['ent_weight']
+        for meter, key in ((top1, 'top1'), (top5, 'top5'), (losses, 'loss')):
+            meter.sum = ck[key] * seen
+            meter.count = seen
+        if verbose:
+            print(f'=> resuming eval at batch {skip_batches} ({seen} images)')
+    seen_at_start = seen
     end = time.time()
     for i, (images, labels) in enumerate(batches):
+        if i < skip_batches:
+            continue
         if subset is not None and seen >= subset:
             break
         out = step(params, stats, jnp.asarray(images), jnp.asarray(labels))
@@ -74,8 +98,24 @@ def evaluate(engine: QuantEngine, params, batches: Iterable, *,
                   f'Loss {losses.val:.4f} ({losses.avg:.4f})\t'
                   f'Prec@1 {top1.val:.3f} ({top1.avg:.3f})\t'
                   f'Prec@5 {top5.val:.3f} ({top5.avg:.3f})')
+        if resume_path and (i + 1) % checkpoint_every == 0:
+            _write_eval_checkpoint(resume_path, i + 1, seen, top1, top5,
+                                   losses, ent_sum, ent_weight)
     result = {'top1': top1.avg, 'top5': top5.avg, 'loss': losses.avg,
-              'images_per_sec': seen / max(batch_time.sum, 1e-9)}
+              'images_per_sec': (seen - seen_at_start)
+              / max(batch_time.sum, 1e-9)}
     if ent_weight > 0:
         result['avg_entropy'] = ent_sum / ent_weight
+    if resume_path and os.path.exists(resume_path):
+        os.remove(resume_path)  # completed: clear the checkpoint
     return result
+
+
+def _write_eval_checkpoint(path, batches, seen, top1, top5, losses,
+                           ent_sum, ent_weight):
+    tmp = path + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump({'batches': batches, 'seen': seen, 'top1': top1.avg,
+                   'top5': top5.avg, 'loss': losses.avg,
+                   'ent_sum': ent_sum, 'ent_weight': ent_weight}, f)
+    os.replace(tmp, path)

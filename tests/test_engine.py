@@ -1,5 +1,6 @@
 """End-to-end engine tests on a small ResNet-18 with synthetic data."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -156,3 +157,46 @@ def test_ignore_ids_route_to_int8(small_resnet):
     l1, _ = eng_all4.jit_forward()(params, None, x)
     l2, _ = eng_ign.jit_forward()(params, None, x)
     assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_evaluate_resume(tmp_path):
+    """Eval-loop checkpoint/resume: interrupting after N batches and
+    restarting with the same resume_path reproduces the uninterrupted
+    meters exactly (aux subsystem the reference lacks, SURVEY.md §5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import QuantPolicy, QuantEngine, TapContext
+    from cnn_quantization_tpu.engine.evaluate import evaluate
+
+    model, meta = build_model('resnet18')
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, TapContext())['params']
+    policy = QuantPolicy(arch='resnet18', qtype='int8', qweight='int8')
+    eng = QuantEngine(model, policy, meta)
+    pq = eng.quantize_params(params)
+    rng = np.random.RandomState(0)
+    batches = [(rng.rand(2, 64, 64, 3).astype(np.float32),
+                rng.randint(0, 1000, 2).astype(np.int32)) for _ in range(4)]
+
+    full = evaluate(eng, pq, batches)
+
+    ckpt = str(tmp_path / 'eval_resume.json')
+
+    # interrupted run: dies after 2 batches (checkpoint written per batch)
+    def interrupted():
+        for i, b in enumerate(batches):
+            if i == 2:
+                raise RuntimeError('simulated preemption')
+            yield b
+
+    with pytest.raises(RuntimeError):
+        evaluate(eng, pq, interrupted(), resume_path=ckpt, checkpoint_every=1)
+    assert os.path.exists(ckpt)
+    resumed = evaluate(eng, pq, batches, resume_path=ckpt,
+                       checkpoint_every=1)
+    assert not os.path.exists(ckpt)  # cleared on completion
+    for k in ('top1', 'top5'):
+        assert abs(resumed[k] - full[k]) < 1e-9, (k, resumed[k], full[k])
+    assert abs(resumed['loss'] - full['loss']) < 1e-4
