@@ -109,6 +109,43 @@ def dequantize_codes(q, scale, zero_point, *, channel_axis: int | None = None):
     return (qf - zero_point) * scale
 
 
+def fake_quant_kernel_semantics(x, delta, offset, num_bits: int):
+    """Per-tensor fake-quant with the reference *CUDA-kernel* semantics.
+
+    The reference routes its per-tensor min/max and KLD paths through the
+    native ``float2gemmlowp`` kernel (reference: kernels/gemmlowp.cu:30-45,
+    int_quantizer.py:605-614), whose semantics differ from the Python
+    ``__gemmlowpQuantize1__`` path in three ways:
+
+      * ``range <= 0``     -> the input is returned unchanged;
+      * no 1e-8 scale floor;
+      * "preserve zero" is *gated*: the rounded-zero-point form is used only
+        when the range straddles zero (``offset < 0 < offset + delta``,
+        int_quantizer.py:613); otherwise the exact affine form
+        ``round((x - offset)/scale) * scale + offset`` is used.
+
+    ``delta``/``offset`` are scalars (0-d).  Bit width is static.
+    """
+    x = jnp.asarray(x)
+    xf = x.astype(jnp.float32)
+    delta = jnp.asarray(delta, jnp.float32)
+    offset = jnp.asarray(offset, jnp.float32)
+    qmax = 2.0 ** num_bits - 1.0
+
+    scale = delta / qmax
+    safe_scale = jnp.where(delta > 0, scale, 1.0)
+    zero_point = jnp.round(-offset / safe_scale)
+    straddles = (offset + delta > 0) & (offset < 0)
+    shift = jnp.where(straddles, zero_point, -offset)
+
+    q = jnp.where(straddles, xf / safe_scale + shift, (xf + shift) / safe_scale)
+    # Kernel order: min with qmax, max with 0, then round (gemmlowp.cu:17-19).
+    q = jnp.round(jnp.clip(q, 0.0, qmax))
+    deq = jnp.where(straddles, (q - shift) * safe_scale, q * safe_scale - shift)
+    out = jnp.where(delta > 0, deq, xf)
+    return out.astype(x.dtype)
+
+
 def alpha_to_delta_offset(alpha, max_value, min_value, mean, *, half_range: bool,
                           clip2max: bool = False):
     """Convert a clip value alpha into (delta, offset) = (range, min).

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from . import aciq
 from .bit_alloc import get_bits_alloc_fixed_target
 from .mid_tread import mid_tread_quantize_tensor
-from .quant_math import (alpha_to_delta_offset, fake_quant, minmax_delta_offset,
+from .quant_math import (alpha_to_delta_offset, fake_quant,
+                         fake_quant_kernel_semantics, minmax_delta_offset,
                          qmax_for_bits, quantize_codes)
 from .stats import act_stats, act_stats_per_channel, weight_stats_per_channel
 from .entropy import shannon_entropy
@@ -179,7 +180,9 @@ def quantize_activation(x, cfg: QuantConfig, *, half_range: bool = False,
         delta, offset = alpha_to_delta_offset(
             kld_th, _stat(site_stats, 'max', 'mean'), _stat(site_stats, 'min', 'mean'),
             _stat(site_stats, 'mean', 'mean'), half_range=half)
-        return fake_quant(x, delta, offset, cfg.qmax), aux
+        # The reference KLD path runs through the native kernel
+        # (int_quantizer.py:486) — use its exact semantics.
+        return fake_quant_kernel_semantics(x, delta, offset, cfg.num_bits), aux
 
     if cfg.clipping != 'no':
         if cfg.mtd_quant:
@@ -257,7 +260,9 @@ def quantize_activation(x, cfg: QuantConfig, *, half_range: bool = False,
         s = act_stats(x, ['min', 'max'], avg_over_batch=avg)
         min_v, max_v = s['min'], s['max']
     delta, offset = minmax_delta_offset(min_v, max_v, half_range=half)
-    return fake_quant(x, delta, offset, cfg.qmax), aux
+    # The reference per-tensor min/max path runs through the native kernel
+    # (int_quantizer.py:379) — exact-affine when the range doesn't straddle 0.
+    return fake_quant_kernel_semantics(x, delta, offset, cfg.num_bits), aux
 
 
 def quantize_weight(w, cfg: QuantConfig, *, out_axis: int = -1):
@@ -292,8 +297,9 @@ def quantize_weight(w, cfg: QuantConfig, *, out_axis: int = -1):
             aux['entropy'] = ent
         return out, aux
 
-    # Per-tensor min/max fallthrough (tag 'weight' never batch-averages).
+    # Per-tensor min/max fallthrough (tag 'weight' never batch-averages);
+    # runs through the native kernel in the reference (int_quantizer.py:379).
     s = act_stats(w, ['min', 'max'])
     delta, offset = minmax_delta_offset(s['min'], s['max'],
                                         half_range=cfg.force_positive)
-    return fake_quant(w, delta, offset, cfg.qmax), aux
+    return fake_quant_kernel_semantics(w, delta, offset, cfg.num_bits), aux
