@@ -60,18 +60,15 @@ class StatsAggregator:
 
 def collect_statistics(collect_fn, params, batches: Iterable, *,
                        cal_set_size: int | None = None,
-                       kld_bits: int | None = None,
                        progress: bool = False):
     """Run the jitted collect step over ``batches`` and aggregate.
 
     ``cal_set_size`` stops after that many images (inference_sim.py:294-296).
-    ``kld_bits`` additionally computes the TensorRT-style KLD threshold per
-    site on host (statistic_manager.py:80-82) — requires re-running the
-    forward with raw activations, so it is opt-in.
+    KLD thresholds are collected separately (calib/kld.py via the CLI's
+    activation-capture path) since they need raw activations on host.
     """
     agg = StatsAggregator()
     seen = 0
-    kld_acc: dict[str, list[float]] = {}
     for images, _ in batches:
         if cal_set_size is not None and seen >= cal_set_size:
             break

@@ -55,6 +55,11 @@ def build_parser():
     p.add_argument('--eval_precision', '-ep', action='store_true', default=False)
     p.add_argument('--clipping', '-c', default='no',
                    help='[no, gaus, laplace, exp, <p>std, mix]')
+    p.add_argument('--rho_act', '-ra', default=None, type=float,
+                   help='fp32 statistical clip on activations before '
+                        'quantization (live; dead in the reference)')
+    p.add_argument('--rho_weight', '-rw', default=None, type=float,
+                   help='fp32 ratio clip on weights before quantization')
     p.add_argument('--stats_mode', '-sm', default='no', help='[collect, use, no]')
     p.add_argument('--stats_kind', '-sk', default='mean', help='[mean, max]')
     p.add_argument('--stats_folder', '-sf', default=None)
@@ -105,7 +110,8 @@ def policy_from_args(args):
         bias_corr_act=args.bias_corr_act, bias_corr_weight=args.bias_corr_weight,
         var_corr_weight=args.var_corr_weight,
         measure_entropy=args.measure_entropy, mtd_quant=args.mid_thread_quant,
-        arch=args.arch)
+        stochastic=args.stochastic, rho_act=args.rho_act,
+        rho_weight=args.rho_weight, arch=args.arch)
 
 
 def load_params(args, model, meta):

@@ -186,15 +186,27 @@ class QuantizeContext(TapContext):
         if cfg is None or self.policy.qtype is None:
             return x
         stats = self.site_stats(site, cfg)
-        if site.id in self.qparams and not cfg.measure_entropy:
+        if self.policy.rho_act is not None and site.tag.startswith('activation'):
+            # fp32 statistical clip ahead of quantization (the reference's
+            # activations_clipper, live here; clipping_manager.py:10-42)
+            from ..ops.clippers import statistical_clip
+            ss = stats if stats and 'mean_mean_abs' in stats and 'mean_std' in stats \
+                else None
+            x = statistical_clip(x, self.policy.rho_act, site_stats=ss)
+        if site.id in self.qparams and not (cfg.measure_entropy or cfg.stochastic):
             # frozen fast path: single fused fake-quant, no per-batch stats
             from .qparams import apply_frozen
             out_q = apply_frozen(x, self.qparams[site.id])
             aux = {}
         else:
+            # per-site PRNG stream for stochastic rounding (noise differs
+            # across layers; deterministic across batches and processes —
+            # crc32, not hash(), since the latter is salted per process)
+            import zlib
+            seed = zlib.crc32(site.id.encode()) & 0x7FFFFFFF
             out_q, aux = quantize_activation(
                 x, cfg, half_range=site.half_range, site_stats=stats,
-                channel_axis=self.channel_axis, tag=site.tag)
+                channel_axis=self.channel_axis, tag=site.tag, seed=seed)
         if 'entropy' in aux:
             self.aux[f'{site.id}/entropy'] = aux['entropy']
             self.aux[f'{site.id}/numel'] = x.size

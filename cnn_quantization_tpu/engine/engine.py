@@ -93,7 +93,15 @@ class QuantEngine:
                 cfg = configs[tag]
             if cfg is None:
                 return leaf
-            w_q, _ = quantize_weight(kernel, cfg, out_axis=-1)
+            w_in = kernel
+            if self.policy.rho_weight is not None:
+                # fp32 ratio clip ahead of weight quantization (the
+                # reference's weights_clipper, live here;
+                # clipping_manager.py:45-62); bias/var correction below
+                # still targets the ORIGINAL fp32 moments
+                from ..ops.clippers import ratio_clip
+                w_in = ratio_clip(kernel, self.policy.rho_weight)
+            w_q, _ = quantize_weight(w_in, cfg, out_axis=-1)
             if self.policy.var_corr_weight or self.policy.bias_corr_weight:
                 w_q = bias_corr.weight_correction(
                     kernel, w_q, out_axis=-1,

@@ -58,6 +58,13 @@ class QuantPolicy:
     var_corr_weight: bool = False
     measure_entropy: bool = False
     mtd_quant: bool = False
+    stochastic: bool = False      # stochastic rounding on activation tags
+    # fp32 pre-quantization clippers (reference --rho_act/--rho_weight,
+    # inference_sim.py:84-85; constructed but never invoked there,
+    # clipping_manager.py — live here: statistical clip on activations,
+    # ratio clip on weights)
+    rho_act: float | None = None
+    rho_weight: float | None = None
     arch: str | None = None
 
     def base_config(self, num_bits: int) -> QuantConfig:
@@ -79,6 +86,7 @@ class QuantPolicy:
             vcorr_weight=self.var_corr_weight,
             measure_entropy=self.measure_entropy,
             mtd_quant=self.mtd_quant,
+            stochastic=self.stochastic,
             force_positive=is_fused_relu_arch(self.arch),
             stats_per_channel=self.pcq_act,
         )
@@ -106,15 +114,19 @@ class QuantPolicy:
             base(8), clipping='no', kld=False, pcq_w=False, pcq_a=False,
             stats_per_channel=False, force_positive=False, mtd_quant=False)
 
+        # weight quantization is a one-shot deterministic pass
+        # (quantize_model runs once, i_q_m.py:352-393) — never stochastic
         if self.qweight == 'f32':
             weight = None
         else:
             weight = dataclasses.replace(
                 base(parse_qtype_bits(self.qweight)), pcq_a=False, clipping='no',
-                kld=False, stats_kind='max', force_positive=False)
+                kld=False, stats_kind='max', force_positive=False,
+                stochastic=False)
         weight_classifier = dataclasses.replace(
             base(8), pcq_a=False, clipping='no', kld=False, stats_kind='max',
-            measure_entropy=False, force_positive=False, mtd_quant=False)
+            measure_entropy=False, force_positive=False, mtd_quant=False,
+            stochastic=False)
 
         return {
             'activation': activation,

@@ -54,6 +54,10 @@ class QuantConfig:
     mtd_quant: bool = False
     force_positive: bool = False  # arch-level fused-relu (vgg/alexnet/...)
     stats_per_channel: bool = False  # consult the per-channel stats artifact
+    # stochastic rounding via the Pallas PRNG kernel — the reference parses
+    # --stochastic but never wires it (inference_sim.py:79,
+    # int_quantizer.py:60); here the flag is live for activation tags
+    stochastic: bool = False
 
     @property
     def qmax(self) -> float:
@@ -148,12 +152,26 @@ def _alpha(cfg: QuantConfig, x, site_stats, *, half_range: bool,
     raise ValueError(f'unknown clipping {clip!r}')
 
 
+def _apply_fake_quant(x, cfg: QuantConfig, delta, offset, qmax, *,
+                      channel_axis=None, seed: int = 0):
+    """Deterministic jnp fake-quant, or the stochastic-rounding Pallas kernel
+    when the config asks for it (noise-before-clamp, like gemmlowp.cu:16-18)."""
+    if cfg.stochastic:
+        from .kernels.fake_quant import fake_quant_fused
+        ca = channel_axis if (channel_axis is not None and jnp.ndim(delta) > 0) \
+            else None
+        return fake_quant_fused(x, delta, offset, qmax, channel_axis=ca,
+                                stochastic=True, seed=seed)
+    return fake_quant(x, delta, offset, qmax, channel_axis=channel_axis)
+
+
 def _fake_quant_with_alloc(x, cfg: QuantConfig, delta, offset, bit_alloc,
-                           *, channel_axis):
+                           *, channel_axis, seed: int = 0):
     """Apply the gemmlowp fake-quant with optional per-channel bit widths,
     optionally measuring code entropy (int_quantizer.py:442-448, 469-474)."""
     qmax = cfg.qmax if bit_alloc is None else qmax_for_bits(bit_alloc)
-    out = fake_quant(x, delta, offset, qmax, channel_axis=channel_axis)
+    out = _apply_fake_quant(x, cfg, delta, offset, qmax,
+                            channel_axis=channel_axis, seed=seed)
     ent = None
     if cfg.measure_entropy:
         codes, _ = quantize_codes(x, delta, offset, qmax, channel_axis=channel_axis)
@@ -163,12 +181,15 @@ def _fake_quant_with_alloc(x, cfg: QuantConfig, delta, offset, bit_alloc,
 
 def quantize_activation(x, cfg: QuantConfig, *, half_range: bool = False,
                         site_stats: Mapping[str, Any] | None = None,
-                        channel_axis: int = -1, tag: str = 'activation'):
+                        channel_axis: int = -1, tag: str = 'activation',
+                        seed: int = 0):
     """Quantize an activation tensor.  Returns (tensor, aux) where aux may
     carry {'entropy': scalar}.
 
     Mirrors IntQuantizer.__call__ dispatch order (int_quantizer.py:92-122):
     kld -> clipping (mid-tread or gemmlowp) -> per-channel minmax -> minmax.
+    ``seed`` feeds the stochastic-rounding PRNG when cfg.stochastic (the
+    caller derives it per site so noise differs across layers).
     """
     half = cfg.force_positive or half_range
     per_channel_ok = cfg.pcq_a and _is_spatial(x, channel_axis)
@@ -215,7 +236,7 @@ def quantize_activation(x, cfg: QuantConfig, *, half_range: bool = False,
                                                   half_range=half)
             bit_alloc = _act_bit_alloc(cfg, x, site_stats, channel_axis)
             out, ent = _fake_quant_with_alloc(x, cfg, delta, offset, bit_alloc,
-                                              channel_axis=channel_axis)
+                                              channel_axis=channel_axis, seed=seed)
             if ent is not None:
                 aux['entropy'] = ent
             return out, aux
@@ -224,7 +245,7 @@ def quantize_activation(x, cfg: QuantConfig, *, half_range: bool = False,
                        per_channel=False, channel_axis=channel_axis)
         delta, offset = alpha_to_delta_offset(alpha, max_v, min_v, mean_v,
                                               half_range=half)
-        return fake_quant(x, delta, offset, cfg.qmax), aux
+        return _apply_fake_quant(x, cfg, delta, offset, cfg.qmax, seed=seed), aux
 
     if per_channel_ok:
         # Per-channel min/max (int_quantizer.py:409-451)
@@ -242,7 +263,7 @@ def quantize_activation(x, cfg: QuantConfig, *, half_range: bool = False,
             min_v = jnp.zeros_like(max_v)
         bit_alloc = _act_bit_alloc(cfg, x, site_stats, channel_axis)
         out, ent = _fake_quant_with_alloc(x, cfg, max_v - min_v, min_v, bit_alloc,
-                                          channel_axis=channel_axis)
+                                          channel_axis=channel_axis, seed=seed)
         if ent is not None:
             aux['entropy'] = ent
         return out, aux
@@ -260,6 +281,11 @@ def quantize_activation(x, cfg: QuantConfig, *, half_range: bool = False,
         s = act_stats(x, ['min', 'max'], avg_over_batch=avg)
         min_v, max_v = s['min'], s['max']
     delta, offset = minmax_delta_offset(min_v, max_v, half_range=half)
+    if cfg.stochastic:
+        # stochastic rounding replaces the deterministic native kernel (this
+        # is exactly where the reference's noise tensor would have applied,
+        # gemmlowp.cu:16); the exact-affine special case doesn't apply
+        return _apply_fake_quant(x, cfg, delta, offset, cfg.qmax, seed=seed), aux
     # The reference per-tensor min/max path runs through the native kernel
     # (int_quantizer.py:379) — exact-affine when the range doesn't straddle 0.
     return fake_quant_kernel_semantics(x, delta, offset, cfg.num_bits), aux

@@ -109,3 +109,37 @@ def test_bias_correction_study(setup):
     q, c = next(iter(rows.values()))
     # correction should reduce the mean normalized bias dramatically
     assert c.mean() < q.mean() * 0.1
+
+
+def test_online_meter_welford():
+    """OnlineMeter matches numpy mean/unbiased-var (reference meters.py:45-78)."""
+    from cnn_quantization_tpu.utils.meters import OnlineMeter
+    rng = np.random.RandomState(0)
+    xs = rng.randn(10, 4).astype(np.float32)
+    m = OnlineMeter()
+    for x in xs:
+        m.update(x)
+    np.testing.assert_allclose(m.mean, xs.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(m.var, xs.var(0, ddof=1), rtol=1e-4)
+    np.testing.assert_allclose(m.std, xs.std(0, ddof=1), rtol=1e-4)
+    single = OnlineMeter()
+    single.update(xs[0])
+    np.testing.assert_allclose(single.var, np.zeros(4))
+
+
+def test_accuracy_meter():
+    """AccuracyMeter running top-k percent (reference meters.py:98-126)."""
+    from cnn_quantization_tpu.utils.meters import AccuracyMeter
+    m = AccuracyMeter(topk=(1, 2))
+    logits = np.array([[0.9, 0.1, 0.0],
+                       [0.1, 0.9, 0.0],
+                       [0.0, 0.1, 0.9],
+                       [0.9, 0.1, 0.0]], np.float32)
+    labels = np.array([0, 1, 1, 1])  # top1 right on 2/4; top2 right on 4/4
+    m.update(logits, labels)
+    assert abs(m.avg[1] - 50.0) < 1e-6
+    assert abs(m.avg[2] - 100.0) < 1e-6
+    assert abs(m.avg_error[1] - 50.0) < 1e-6
+    m.update(logits[:2], labels[:2])  # both right at top1: running avg 4/6
+    assert abs(m.avg[1] - 100.0 * 4 / 6) < 1e-4
+    assert abs(m.avg[2] - 100.0) < 1e-4

@@ -200,3 +200,50 @@ def test_evaluate_resume(tmp_path):
     for k in ('top1', 'top5'):
         assert abs(resumed[k] - full[k]) < 1e-9, (k, resumed[k], full[k])
     assert abs(resumed['loss'] - full['loss']) < 1e-4
+
+
+def test_stochastic_rounding_end_to_end(small_resnet):
+    """--stochastic wired CLI->policy->kernel (the reference's dead flag,
+    inference_sim.py:79): the stochastic forward must differ from the
+    deterministic one but stay close (noise is +/-0.5 code), and be
+    reproducible (per-site crc32 seeds, not salted hash)."""
+    model, meta, params = small_resnet
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 64, 64, 3), jnp.float32)
+
+    det = QuantEngine(model, _policy(stochastic=False), meta)
+    sto = QuantEngine(model, _policy(stochastic=True), meta)
+    pq = det.quantize_params(params)
+    logits_det, _ = det.jit_forward()(pq, None, x)
+    logits_sto, _ = sto.jit_forward()(pq, None, x)
+    logits_sto2, _ = sto.jit_forward()(pq, None, x)
+
+    assert not np.allclose(np.asarray(logits_det), np.asarray(logits_sto))
+    np.testing.assert_allclose(np.asarray(logits_sto), np.asarray(logits_sto2))
+    # same quantization grid, only rounding differs: logits stay in the
+    # same ballpark
+    d = np.abs(np.asarray(logits_det) - np.asarray(logits_sto))
+    scale = np.abs(np.asarray(logits_det)).max() + 1e-6
+    assert d.max() / scale < 1.0
+
+
+def test_rho_clippers_wired(small_resnet):
+    """--rho_act/--rho_weight (dead in the reference,
+    clipping_manager.py) are live: a small rho changes the quantized
+    forward; weight clip at rho=1.0 is a no-op."""
+    model, meta, params = small_resnet
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 64, 64, 3), jnp.float32)
+
+    base = QuantEngine(model, _policy(), meta)
+    clipped = QuantEngine(model, _policy(rho_act=0.2, rho_weight=0.5), meta)
+    noop_w = QuantEngine(model, _policy(rho_weight=1.0), meta)
+
+    pq_base = base.quantize_params(params)
+    pq_noop = noop_w.quantize_params(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        pq_base, pq_noop)
+
+    l_base, _ = base.jit_forward()(pq_base, None, x)
+    pq_clip = clipped.quantize_params(params)
+    l_clip, _ = clipped.jit_forward()(pq_clip, None, x)
+    assert not np.allclose(np.asarray(l_base), np.asarray(l_clip))
