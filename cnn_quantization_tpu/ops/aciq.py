@@ -30,12 +30,15 @@ ALPHA_LAPLACE_POSITIVE = {0: 1.86, 1: 2.83, 2: 3.89, 3: 5.02, 4: 6.2, 5: 7.41, 6
 GAUSSIAN_CONST = (0.5 * 0.35) * (1 + (math.pi * math.log(4)) ** 0.5)
 
 # Dense per-bit vectors (index = bit width 0..8) for vectorized per-channel
-# table lookups under jit.
-LAPLACE_TABLE = jnp.asarray([ALPHA_LAPLACE[i] for i in range(9)], jnp.float32)
-LAPLACE_POSITIVE_TABLE = jnp.asarray([ALPHA_LAPLACE_POSITIVE[i] for i in range(9)], jnp.float32)
-GAUS_TABLE = jnp.asarray([ALPHA_GAUS[1]] + [ALPHA_GAUS[i] for i in range(1, 9)], jnp.float32)
-GAUS_POSITIVE_TABLE = jnp.asarray(
-    [ALPHA_GAUS_POSITIVE[1]] + [ALPHA_GAUS_POSITIVE[i] for i in range(1, 9)], jnp.float32)
+# table lookups under jit.  Kept as NUMPY constants: module-level jnp arrays
+# would initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize for multi-host users (it must run before any
+# backend-initializing call) — tests/_distributed_worker.py covers this.
+LAPLACE_TABLE = np.asarray([ALPHA_LAPLACE[i] for i in range(9)], np.float32)
+LAPLACE_POSITIVE_TABLE = np.asarray([ALPHA_LAPLACE_POSITIVE[i] for i in range(9)], np.float32)
+GAUS_TABLE = np.asarray([ALPHA_GAUS[1]] + [ALPHA_GAUS[i] for i in range(1, 9)], np.float32)
+GAUS_POSITIVE_TABLE = np.asarray(
+    [ALPHA_GAUS_POSITIVE[1]] + [ALPHA_GAUS_POSITIVE[i] for i in range(1, 9)], np.float32)
 
 
 def laplace_clipping_mse(b, alpha, num_bits):
@@ -105,8 +108,8 @@ _OMEGA_TABLE = np.concatenate([
 _ALPHA_TABLE = np.concatenate([[0.0], _solve_alpha_for_omega(_OMEGA_TABLE)])
 _OMEGA_TABLE = np.concatenate([[0.0], _OMEGA_TABLE])
 
-OMEGA_TABLE = jnp.asarray(_OMEGA_TABLE, jnp.float32)
-ALPHA_MULT_TABLE = jnp.asarray(_ALPHA_TABLE, jnp.float32)
+OMEGA_TABLE = np.asarray(_OMEGA_TABLE, np.float32)
+ALPHA_MULT_TABLE = np.asarray(_ALPHA_TABLE, np.float32)
 
 
 def alpha_mult_for_omega(omega, sym: bool = True):
@@ -119,11 +122,12 @@ def alpha_mult_for_omega(omega, sym: bool = True):
     omega = jnp.asarray(omega, jnp.float32)
     if not sym:
         omega = omega * 2.0
-    i = jnp.clip(jnp.searchsorted(OMEGA_TABLE, omega), 1, OMEGA_TABLE.shape[0] - 1)
-    w_hi = OMEGA_TABLE[i]
-    w_lo = OMEGA_TABLE[i - 1]
-    a_hi = ALPHA_MULT_TABLE[i]
-    a_lo = ALPHA_MULT_TABLE[i - 1]
+    i = jnp.clip(jnp.searchsorted(jnp.asarray(OMEGA_TABLE), omega), 1,
+                 OMEGA_TABLE.shape[0] - 1)
+    w_hi = jnp.take(OMEGA_TABLE, i)
+    w_lo = jnp.take(OMEGA_TABLE, i - 1)
+    a_hi = jnp.take(ALPHA_MULT_TABLE, i)
+    a_lo = jnp.take(ALPHA_MULT_TABLE, i - 1)
     inc = (a_hi - a_lo) / (w_hi - w_lo)
     return a_hi - inc * (w_hi - omega)
 
@@ -162,7 +166,7 @@ def _exp_coeff(num_bits: int) -> float:
         np.asarray([2.0 * 2.0 ** num_bits]))[0])
 
 
-EXP_TABLE = jnp.asarray([_exp_coeff(m) for m in range(9)], jnp.float32)
+EXP_TABLE = np.asarray([_exp_coeff(m) for m in range(9)], np.float32)
 
 
 def alpha_exp(mean, num_bits):

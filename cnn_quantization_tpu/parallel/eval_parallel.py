@@ -20,9 +20,16 @@ from .mesh import batch_sharding, make_mesh, param_sharding, replicated, shard_p
 
 
 def make_sharded_eval_step(engine: QuantEngine, mesh, params_example,
-                           quantized: bool = True):
-    """jit the eval step with explicit input/output shardings."""
-    fwd = engine.make_forward(quantized)
+                           quantized: bool = True, qparams=None,
+                           act_scales=None):
+    """jit the eval step with explicit input/output shardings.
+
+    ``qparams`` (frozen per-site fake-quant params) and ``act_scales``
+    (frozen serving-int8 scales) make the sharded step x-independent in its
+    quantization decisions, so its results are EXACTLY those of the
+    single-device step (asserted by tests/test_parallel.py) — sharding is an
+    execution detail under GSPMD, never a semantics change."""
+    fwd = engine.make_forward(quantized, qparams=qparams, act_scales=act_scales)
 
     def step(params, stats, images, labels):
         logits, aux = fwd(params, stats, images)
@@ -38,12 +45,14 @@ def make_sharded_eval_step(engine: QuantEngine, mesh, params_example,
 
 def evaluate_sharded(engine: QuantEngine, params, batches: Iterable, *,
                      mesh=None, stats: Mapping[str, Any] | None = None,
-                     quantized: bool = True, subset: int | None = None):
+                     quantized: bool = True, subset: int | None = None,
+                     qparams=None, act_scales=None):
     """Sharded eval loop; per-batch global accuracy via replicated outputs."""
     import time
     mesh = mesh if mesh is not None else make_mesh()
     params = shard_params(params, mesh)
-    step = make_sharded_eval_step(engine, mesh, params, quantized)
+    step = make_sharded_eval_step(engine, mesh, params, quantized,
+                                  qparams=qparams, act_scales=act_scales)
     top1 = AverageMeter(); top5 = AverageMeter(); losses = AverageMeter()
     seen = 0
     t0 = time.time()

@@ -52,3 +52,73 @@ def test_cost_analysis_flops():
 def test_device_peaks_has_keys():
     p = device_peaks()
     assert {'bf16_flops', 'int8_ops', 'hbm_gbps'} <= set(p)
+
+
+def test_two_process_sharded_eval(tmp_path):
+    """Real multi-process coverage: 2 workers x 2 virtual CPU devices,
+    jax.distributed.initialize on localhost, a 4-device global data mesh,
+    and make_global_batch's jax.make_array_from_process_local_data branch.
+    Both workers must report the identical globally-reduced result, matching
+    a single-process run of the same program."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+    coordinator = f'127.0.0.1:{port}'
+
+    import os
+    # PALLAS_AXON_POOL_IPS triggers this machine's sitecustomize to register
+    # the axon TPU backend at interpreter start, which initializes XLA before
+    # jax.distributed.initialize can run — strip it (workers are CPU-only)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS', 'JAX_COORDINATOR',
+                        'PALLAS_AXON_POOL_IPS')}
+    env['PYTHONUNBUFFERED'] = '1'
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
+    worker = os.path.join(os.path.dirname(__file__), '_distributed_worker.py')
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coordinator, '2', str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=repo_root)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f'worker failed:\n{err[-3000:]}'
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # globally-reduced outputs are identical on every process
+    assert outs[0]['top1'] == outs[1]['top1']
+    assert outs[0]['top5'] == outs[1]['top5']
+    assert abs(outs[0]['loss'] - outs[1]['loss']) < 1e-5
+
+    # and match a single-process run of the same program (coarse loss tol:
+    # cross-host reduction reassociation, see test_parallel.py)
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import QuantPolicy, QuantEngine, TapContext
+    from cnn_quantization_tpu.engine.evaluate import make_eval_step
+    import jax.numpy as jnp
+    model, meta = build_model('resnet18')
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, x0, TapContext())['params'])(
+        jax.random.PRNGKey(0))
+    eng = QuantEngine(model, QuantPolicy(qtype='int8', qweight='f32',
+                                         arch='resnet18'), meta)
+    rng = np.random.RandomState(0)
+    images = rng.rand(4, 64, 64, 3).astype(np.float32)
+    labels = rng.randint(0, 1000, 4).astype(np.int32)
+    ref = jax.device_get(make_eval_step(eng)(params, None,
+                                             jnp.asarray(images),
+                                             jnp.asarray(labels)))
+    assert abs(outs[0]['top1'] - int(ref['top1'])) <= 1
+    np.testing.assert_allclose(outs[0]['loss'], float(ref['loss']), rtol=5e-2)

@@ -28,23 +28,116 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-def test_dp_mesh_eval_matches_single_device(setup):
-    model, meta, eng, pq = setup
+def _compare_sharded_vs_single(eng, pq, mesh, *, stats=None, qparams=None,
+                               loss_rtol=1e-6):
+    """Sharded step vs single-device step on identical inputs: under GSPMD
+    the program's global semantics must not depend on sharding — counts must
+    match exactly and loss to float tolerance."""
+    from cnn_quantization_tpu.engine.evaluate import make_eval_step
     rng = np.random.RandomState(0)
     images = rng.rand(8, 64, 64, 3).astype(np.float32)
     labels = rng.randint(0, 1000, 8).astype(np.int32)
 
+    step = make_sharded_eval_step(eng, mesh, pq, qparams=qparams)
+    out = jax.device_get(step(shard_params(pq, mesh), stats, images, labels))
+    ref = jax.device_get(make_eval_step(eng, qparams=qparams)(
+        pq, stats, images, labels))
+    assert int(out['top1']) == int(ref['top1'])
+    assert int(out['top5']) == int(ref['top5'])
+    np.testing.assert_allclose(out['loss'], ref['loss'], rtol=loss_rtol)
+
+
+def test_dp_mesh_eval_matches_single_device_dynamic(setup):
+    """Dynamic (online-stats) path under pure DP: GSPMD computes batch
+    statistics GLOBALLY (asserted precisely by
+    test_dp_collect_stats_are_global), but the mean/std reductions
+    reassociate across shards (~1e-7 relative), and int4 rounding amplifies
+    that chaotically through 20 layers on random weights — the same effect
+    any two XLA fusion decisions produce on one device.  So this end-to-end
+    check uses a coarse tolerance whose job is to catch per-SHARD-stats bugs
+    (which shift the loss by O(10%+) and accuracy counts arbitrarily); exact
+    reproducibility is guaranteed — and asserted exactly below — for the
+    x-independent configs (frozen qparams / use-stats), which are the
+    deployment paths."""
+    from cnn_quantization_tpu.engine.evaluate import make_eval_step
+    model, meta, eng, pq = setup
     mesh = make_mesh(data=8, model=1)
+    rng = np.random.RandomState(0)
+    images = rng.rand(8, 64, 64, 3).astype(np.float32)
+    labels = rng.randint(0, 1000, 8).astype(np.int32)
     step = make_sharded_eval_step(eng, mesh, pq)
     out = jax.device_get(step(shard_params(pq, mesh), None, images, labels))
-
-    from cnn_quantization_tpu.engine.evaluate import make_eval_step
     ref = jax.device_get(make_eval_step(eng)(pq, None, images, labels))
-    # batch-stat-dependent quantization differs when stats are computed per
-    # shard; loss should still be in the same ballpark and counts valid
-    assert 0 <= out['top1'] <= 8
-    assert np.isfinite(out['loss'])
-    assert np.isfinite(ref['loss'])
+    np.testing.assert_allclose(out['loss'], ref['loss'], rtol=5e-2)
+    assert abs(int(out['top1']) - int(ref['top1'])) <= 1
+    assert abs(int(out['top5']) - int(ref['top5'])) <= 1
+
+
+def test_dp_collect_stats_are_global(setup):
+    """Calibration stats computed under a DP-sharded collect step equal the
+    single-device stats to reassociation tolerance — i.e. GSPMD reduces
+    globally across shards, never per-shard.  (A per-shard bug would be off
+    by O(1): e.g. per-shard min/max of 1 image vs the global 8.)  Kurtosis
+    is a 4th-moment ratio and amplifies reassociation noise the most, hence
+    the atol floor."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    model, meta, eng, pq = setup
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.RandomState(11)
+    images = rng.rand(8, 64, 64, 3).astype(np.float32)
+
+    collect = eng.make_collect()
+    sharded = jax.jit(collect, in_shardings=(
+        None, NamedSharding(mesh, P('data'))),
+        out_shardings=None)
+    _, st_sh = jax.device_get(sharded(pq, images))
+    _, st_si = jax.device_get(jax.jit(collect)(pq, images))
+    for site, entry in st_si.items():
+        for stat, v in entry.items():
+            np.testing.assert_allclose(
+                np.asarray(st_sh[site][stat]), np.asarray(v),
+                rtol=1e-3, atol=1e-4,
+                err_msg=f'{site}/{stat} differs under DP sharding')
+
+
+def test_dp_mesh_eval_matches_single_device_frozen(setup):
+    """Frozen-qparams path (x-independent quantization) under DP: exact."""
+    model, meta, eng, pq = setup
+    from cnn_quantization_tpu.calib.calibrator import collect_statistics
+    rng = np.random.RandomState(7)
+    batches = [(rng.rand(8, 64, 64, 3).astype(np.float32),
+                np.zeros(8, np.int32))]
+    stats = collect_statistics(eng.jit_collect(), pq, batches)
+    qp = eng.freeze_qparams(stats, input_shape=(8, 64, 64, 3))
+    assert qp, 'freeze_qparams resolved no sites'
+    _compare_sharded_vs_single(eng, pq, make_mesh(data=8, model=1), qparams=qp)
+
+
+def test_dp_mesh_eval_matches_single_device_use_stats(setup):
+    """Stats-driven dynamic path (use-stats mode) under DP: quantization
+    params are functions of the replicated stats artifact only — exact."""
+    model, meta, eng, pq = setup
+    from cnn_quantization_tpu.calib.calibrator import collect_statistics
+    rng = np.random.RandomState(8)
+    batches = [(rng.rand(8, 64, 64, 3).astype(np.float32),
+                np.zeros(8, np.int32))]
+    stats = collect_statistics(eng.jit_collect(), pq, batches)
+    _compare_sharded_vs_single(eng, pq, make_mesh(data=8, model=1), stats=stats)
+
+
+def test_tp_mesh_eval_matches_single_device_frozen(setup):
+    """Model-axis sharding splits conv accumulations across devices; with
+    frozen qparams the only divergence is f32 reduction reassociation in the
+    psum — loss agrees to ~1e-5 and counts must still match on this input."""
+    model, meta, eng, pq = setup
+    from cnn_quantization_tpu.calib.calibrator import collect_statistics
+    rng = np.random.RandomState(9)
+    batches = [(rng.rand(8, 64, 64, 3).astype(np.float32),
+                np.zeros(8, np.int32))]
+    stats = collect_statistics(eng.jit_collect(), pq, batches)
+    qp = eng.freeze_qparams(stats, input_shape=(8, 64, 64, 3))
+    _compare_sharded_vs_single(eng, pq, make_mesh(data=2, model=4),
+                               qparams=qp, loss_rtol=1e-4)
 
 
 def test_tp_mesh_channel_sharding(setup):
