@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument('--seed', default=None, type=int)
     p.add_argument('--device', default='tpu', help='tpu or cpu')
     p.add_argument('--dtype', default='float32', help='compute dtype: float32|bfloat16')
+    p.add_argument('--input_size', default=None, type=int,
+                   help='override input crop size (default: arch-native '
+                        '224/299); for quick smoke runs')
 
     p.add_argument('--qtype', default=None, help='data type: int[N]')
     p.add_argument('--qweight', '-qw', default='int8')
@@ -164,7 +167,7 @@ def main(argv=None):
     loader, real_data = make_loader(
         args.data, args.arch, args.batch_size,
         shuffle=(args.kld_threshold or args.aciq_cal or args.shuffle),
-        limit=args.subset, seed=args.seed or 12345)
+        limit=args.subset, seed=args.seed or 12345, size=args.input_size)
     if not real_data:
         print('=> ImageNet not found; using synthetic data')
 

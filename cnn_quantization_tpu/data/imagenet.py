@@ -97,10 +97,16 @@ class ImageNetVal:
 
 def make_loader(data_dir: str | None, arch: str, batch_size: int, *,
                 shuffle: bool = False, limit: int | None = None,
-                synthetic_batches_count: int = 8, seed: int = 12345):
-    """Real ImageNet val loader if the directory exists, else synthetic."""
-    size = 299 if arch == 'inception_v3' else 224
-    resize = 299 if arch == 'inception_v3' else 256
+                synthetic_batches_count: int = 8, seed: int = 12345,
+                size: int | None = None):
+    """Real ImageNet val loader if the directory exists, else synthetic.
+
+    ``size`` overrides the arch-default crop (224/299) — used for quick
+    smoke runs on small inputs (all models are fully convolutional up to
+    the pooled classifier)."""
+    if size is None:
+        size = 299 if arch == 'inception_v3' else 224
+    resize = max(size + 32, size * 256 // 224)
     valdir = None
     if data_dir:
         cand = os.path.join(data_dir, 'val')

@@ -1,0 +1,84 @@
+"""End-to-end CLI smoke tests: cli.inference_sim.main() in-process on the
+synthetic loader (CPU), covering the reference driver's modes
+(inference_sim.py:232-267, 375-391): plain eval, collect->use stats round
+trip, serving-int8, precision sweep, layer-sensitivity sweep, mid-tread +
+entropy.  Each must exit 0 and leave the expected artifact."""
+
+import json
+import os
+
+import pytest
+
+from cnn_quantization_tpu.cli.inference_sim import main
+
+
+@pytest.fixture()
+def cli_env(tmp_path, monkeypatch):
+    """Isolated HOME (stats/mlruns artifacts) and cwd (results/ CSVs)."""
+    monkeypatch.setenv('HOME', str(tmp_path))
+    monkeypatch.delenv('IMAGENET_DIR', raising=False)
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+BASE = ['--device', 'cpu', '-a', 'resnet18', '-b', '4', '--subset', '8',
+        '--input_size', '64', '--data', '/nonexistent']
+
+
+def test_cli_plain_eval(cli_env, capsys):
+    assert main(BASE + ['-pcq_w', '-pcq_a', '--qtype', 'int4', '-qw', 'int4',
+                        '-c', 'laplace', '-baa', '-baw', '-bcw']) == 0
+    out = capsys.readouterr().out
+    res = json.loads(out.strip().splitlines()[-1])
+    assert {'top1', 'top5', 'loss', 'images_per_sec'} <= set(res)
+
+
+def test_cli_collect_then_use(cli_env, capsys):
+    common = BASE + ['--qtype', 'int4', '-qw', 'int4', '-c', 'laplace',
+                     '-sf', 'smoke_cu']
+    assert main(common + ['-sm', 'collect', '-ac', '-cs', '8']) == 0
+    stats_path = cli_env / 'mxt-sim-tpu' / 'statistics' / 'smoke_cu.npz'
+    assert stats_path.exists(), 'collect mode must write the stats artifact'
+    assert main(common + ['-sm', 'use']) == 0
+    out = capsys.readouterr().out
+    assert 'Loaded statistics' in out
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res['loss'] > 0
+
+
+def test_cli_serving_int8(cli_env, capsys):
+    assert main(BASE + ['--qtype', 'int8', '-qw', 'int8', '--serving_int8']) == 0
+    out = capsys.readouterr().out
+    assert 'calibrating frozen activation scales' in out
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res['loss'] > 0
+
+
+def test_cli_eval_precision_sweep(cli_env, capsys):
+    assert main(BASE + ['--qtype', 'int8', '-qw', 'int8', '-ep',
+                        '--subset', '4']) == 0
+    csv = cli_env / 'results' / 'precision' / 'resnet18_no_clipping.csv'
+    assert csv.exists()
+    body = csv.read_text()
+    for row in ('fp32', 'int8', 'int4'):
+        assert row in body
+
+
+def test_cli_custom_test_order_file(cli_env, capsys):
+    order = cli_env / 'order.json'
+    order.write_text(json.dumps(['conv1_activation', 'conv2_activation']))
+    assert main(BASE + ['--qtype', 'int4', '-qw', 'int4', '-ct',
+                        '--order_file', str(order), '--subset', '4']) == 0
+    csv = (cli_env / 'results' / 'custom_test' /
+           'resnet18_max_mse_no_cliping_layer_selection.csv')
+    assert csv.exists()
+    assert len(csv.read_text().strip().splitlines()) >= 4  # header + 3 runs
+
+
+def test_cli_mid_tread_entropy(cli_env, capsys):
+    assert main(BASE + ['--qtype', 'int4', '-qw', 'int4', '-c', 'laplace',
+                        '-mtq', '-me', '--subset', '4']) == 0
+    out = capsys.readouterr().out
+    assert 'Average bit rate' in out
+    res = json.loads(out.strip().splitlines()[-1])
+    assert 0.0 < res['avg_entropy'] <= 8.0
