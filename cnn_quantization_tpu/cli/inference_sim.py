@@ -52,6 +52,12 @@ def build_parser():
                         'frozen activation scales (bit widths from '
                         '--qtype/--qweight, clamped to int8 grid); beyond '
                         'the reference, which only simulates quantization')
+    p.add_argument('--serving_cal', default='max',
+                   choices=('max', 'percentile', 'aciq'),
+                   help='serving scale calibration: abs-max, |x| percentile, '
+                        'or ACIQ-Laplace optimal clip')
+    p.add_argument('--serving_percentile', default=99.99, type=float,
+                   help='percentile for --serving_cal percentile (99.9 or 99.99)')
     p.add_argument('--shuffle', '-sh', action='store_true')
     p.add_argument('--stochastic', '-s', action='store_true', default=False,
                    help='stochastic rounding (Pallas PRNG path)')
@@ -266,8 +272,11 @@ def main(argv=None):
         name += '_serving'
     with MetricsTracker('~/mlruns_mxt_tpu', experiment, args, name) as tracker:
         if args.serving_int8:
-            print('=> serving-int8: calibrating frozen activation scales')
-            scales = engine.freeze_serving_scales(params_q, loader)
+            print(f'=> serving-int8: calibrating frozen activation scales '
+                  f'({args.serving_cal})')
+            scales = engine.freeze_serving_scales(
+                params_q, loader, mode=args.serving_cal,
+                percentile=args.serving_percentile)
             res = evaluate(engine, params_q, loader, stats=stats,
                            quantized='serving_int8', act_scales=scales,
                            subset=args.subset, print_freq=args.print_freq,

@@ -67,7 +67,8 @@ class ServingInt8Context(TapContext):
     int8_serving = True
 
     def __init__(self, act_scales: Mapping[str, Any] | None = None,
-                 act_bits: int = 8, weight_bits: int = 8):
+                 act_bits: int = 8, weight_bits: int = 8,
+                 calibrate: bool = False):
         # optional frozen per-conv input scales (site_id -> scalar f32) from
         # calibration; absent entries fall back to dynamic abs-max quant,
         # whose scale is recorded (aux output) so a calibration run can
@@ -76,13 +77,28 @@ class ServingInt8Context(TapContext):
         # as int8 — the MXU int8 path runs at the same rate, only the
         # representable levels shrink), so e.g. true-W4A4 serving uses the
         # reference's headline bit widths with real integer arithmetic.
+        # ``calibrate`` additionally records richer per-input statistics
+        # (abs-max, 99.9/99.99 percentiles of |x|, Laplace b = E|x|) so the
+        # frozen scales can be clipped (percentile / ACIQ-laplace) instead of
+        # stretched by outliers — calibration-only, never on the hot path.
         self.act_scales = dict(act_scales or {})
         self.act_bits = act_bits
         self.weight_bits = weight_bits
+        self.calibrate = calibrate
         self.recorded: dict[str, Any] = {}
 
     def record_scale(self, site_id: str, scale):
         self.recorded[site_id] = scale
+
+    def record_input_stats(self, site_id: str, xf32):
+        """Calibration-time input statistics for scale freezing."""
+        if not self.calibrate:
+            return
+        absx = jnp.abs(xf32.reshape(-1))
+        self.recorded[site_id + '/absmax'] = jnp.max(absx)
+        self.recorded[site_id + '/p999'] = jnp.percentile(absx, 99.9)
+        self.recorded[site_id + '/p9999'] = jnp.percentile(absx, 99.99)
+        self.recorded[site_id + '/b'] = jnp.mean(absx)
 
     def finalize(self):
         return dict(self.recorded)

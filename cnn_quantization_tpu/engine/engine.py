@@ -148,24 +148,73 @@ class QuantEngine:
         return fwd
 
     def freeze_serving_scales(self, params_q, batches, *,
-                              max_batches: int = 4) -> dict:
-        """Calibrate frozen serving-int8 activation scales: run the dynamic
-        serving forward over a few batches, recording each conv input's
-        abs-max scale, and keep the max across batches (so the frozen grid
-        covers the calibration range)."""
+                              max_batches: int = 4, mode: str = 'max',
+                              percentile: float = 99.99) -> dict:
+        """Calibrate frozen serving-int8 activation scales over a few
+        batches.  ``mode`` selects how the per-site scale is set from the
+        recorded input statistics:
+
+          'max'        — max over batches of abs-max (the grid covers every
+                         calibration value; a single outlier stretches it —
+                         the failure mode VERDICT r1 flagged);
+          'percentile' — max over batches of the |x| ``percentile`` (99.9 or
+                         99.99): outlier tails are clipped, resolution goes
+                         to the bulk;
+          'aciq'       — ACIQ-Laplace optimal clip for the serving bit
+                         width: alpha = c_bits * E|x| (the reference's
+                         clipping machinery, int_quantizer.py:84 + 227-253,
+                         connected to the true-int path), never wider than
+                         abs-max.
+        """
         import jax
         import jax.numpy as jnp
         import numpy as np
+        from .context import ServingInt8Context
+        from .policy import parse_qtype_bits
+        from ..ops.aciq import ALPHA_LAPLACE
 
-        fwd = jax.jit(self.make_forward(quantized='serving_int8'))
-        frozen: dict[str, float] = {}
+        act_bits = min(parse_qtype_bits(self.policy.qtype)
+                       if self.policy.qtype else 8, 8)
+        weight_bits = min(parse_qtype_bits(self.policy.qweight)
+                          if self.policy.qweight not in (None, 'f32') else 8, 8)
+
+        def calib_fwd(params, x):
+            ctx = ServingInt8Context(act_bits=act_bits,
+                                     weight_bits=weight_bits, calibrate=True)
+            self.model.apply({'params': params}, x, ctx)
+            return ctx.finalize()
+
+        fwd = jax.jit(calib_fwd)
+        agg: dict[str, dict[str, list[float]]] = {}
         for i, (images, _) in enumerate(batches):
             if i >= max_batches:
                 break
-            _, recorded = fwd(params_q, None, jnp.asarray(images))
-            for site_id, scale in jax.device_get(recorded).items():
-                s = float(np.asarray(scale))
-                frozen[site_id] = max(frozen.get(site_id, 0.0), s)
+            recorded = jax.device_get(fwd(params_q, jnp.asarray(images)))
+            for key, v in recorded.items():
+                if '/' not in key:
+                    continue
+                site_id, stat = key.rsplit('/', 1)
+                agg.setdefault(site_id, {}).setdefault(stat, []).append(
+                    float(np.asarray(v)))
+
+        pkey = 'p999' if percentile <= 99.9 else 'p9999'
+        frozen: dict[str, float] = {}
+        for site_id, stats in agg.items():
+            # linear/classifier inputs always quantize on the full int8 grid
+            # (models/layers.py QLinear), regardless of the conv bit width
+            bits = 8 if site_id.startswith('linear') else act_bits
+            qmax = 2.0 ** (bits - 1) - 1.0
+            absmax = max(stats['absmax'])
+            if mode == 'max':
+                clip = absmax
+            elif mode == 'percentile':
+                clip = max(stats[pkey])
+            elif mode == 'aciq':
+                b = float(np.mean(stats['b']))
+                clip = min(ALPHA_LAPLACE[bits] * b, absmax)
+            else:
+                raise ValueError(f'unknown serving calibration mode {mode!r}')
+            frozen[site_id] = max(clip / qmax, 1e-8)
         return frozen
 
     def freeze_qparams(self, stats, input_shape=None):

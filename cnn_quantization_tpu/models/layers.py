@@ -101,6 +101,8 @@ class QConv(nn.Module):
                 act_scale = jnp.maximum(jnp.max(jnp.abs(xf32)) / qmax, 1e-8)
                 if self.site is not None and hasattr(ctx, 'record_scale'):
                     ctx.record_scale(self.site.id, act_scale)
+                    if getattr(ctx, 'calibrate', False):
+                        ctx.record_input_stats(self.site.id, xf32)
             y = int8_conv(x.astype(jnp.float32), w_codes, w_scale, bias,
                           strides=_pair(self.strides), padding=pad,
                           groups=self.groups, act_bits=act_bits,
@@ -149,6 +151,8 @@ class QLinear(nn.Module):
                 act_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
                 if self.site is not None and hasattr(ctx, 'record_scale'):
                     ctx.record_scale(self.site.id, act_scale)
+                    if getattr(ctx, 'calibrate', False):
+                        ctx.record_input_stats(self.site.id, xf)
             x_q = jnp.clip(jnp.round(xf / act_scale), -127, 127).astype(jnp.int8)
             acc = lax.dot_general(
                 x_q, w_codes, (((x_q.ndim - 1,), (0,)), ((), ())),
