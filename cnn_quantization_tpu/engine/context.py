@@ -66,6 +66,12 @@ class ServingInt8Context(TapContext):
     mode = 'serving_int8'
     int8_serving = True
 
+    # The first conv (in_ch==3) runs in bf16: 3 input channels waste the
+    # int8 MXU tiling (measured 1.6x SLOWER than bf16 on v5e) and the
+    # reference keeps the first layer at higher precision anyway
+    # (inference_quantization_manager.py:360-366).
+    bf16_first_conv = True
+
     def __init__(self, act_scales: Mapping[str, Any] | None = None,
                  act_bits: int = 8, weight_bits: int = 8,
                  calibrate: bool = False):

@@ -185,7 +185,23 @@ def _extract_affine(cfg: QuantConfig, site: Site, site_stats, shape):
     return SiteQParams(delta, offset, jnp.float32(cfg.qmax), False)
 
 
-def apply_frozen(x, qp: SiteQParams):
+import os
+
+# Lowering for the frozen fake-quant: XLA-native jnp (default) fuses the
+# whole fake-quant into the producing conv's epilogue; the Pallas kernel is
+# a separate dispatch that breaks that fusion (measured slower end-to-end on
+# v5e — see README "kernel lowering notes"), so it stays opt-in.
+_USE_PALLAS = os.environ.get('CNNQ_FROZEN_PALLAS', '0') == '1'
+
+
+def apply_frozen(x, qp: SiteQParams, use_pallas: bool | None = None):
+    if use_pallas is None:
+        use_pallas = _USE_PALLAS
+    if use_pallas:
+        from ..ops.kernels.fake_quant import fake_quant_fused
+        return fake_quant_fused(
+            x, qp.delta, qp.offset, qp.qmax,
+            channel_axis=-1 if qp.per_channel else None)
     return quant_math.fake_quant(
         x, qp.delta, qp.offset, qp.qmax,
         channel_axis=-1 if qp.per_channel else None)

@@ -10,13 +10,29 @@ NHWC, conv kernels HWIO, linear kernels [in, out].
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, NamedTuple, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
 from ..engine.context import Site, TapContext
+
+
+class QTensor(NamedTuple):
+    """Pre-quantized activation: int8 codes + the f32 scale they encode.
+
+    The int8-resident serving path (ResNet blocks) quantizes a block input
+    once and feeds the codes to every consumer (conv1, downsample, residual
+    dequant), so the bf16 boundary tensor never hits HBM — the requantize
+    fuses into the producing fusion and only 1-byte codes travel between
+    blocks.
+    """
+    codes: Any   # int8, same layout as the float tensor it replaces
+    scale: Any   # f32 scalar
+
+    def dequant(self, dtype=jnp.float32):
+        return (self.codes.astype(jnp.float32) * self.scale).astype(dtype)
 
 
 class SiteNamer:
@@ -75,12 +91,16 @@ class QConv(nn.Module):
     @nn.compact
     def __call__(self, x, ctx: TapContext):
         kh, kw = _pair(self.kernel_size)
+        prequant = isinstance(x, QTensor)
+        if prequant:
+            x, pre_scale = x.codes, x.scale
         in_ch = x.shape[-1]
         kernel = self.param(
             'kernel', nn.initializers.he_normal(),
             (kh, kw, in_ch // self.groups, self.features), jnp.float32)
         pad = _pair(self.padding)
-        if getattr(ctx, 'int8_serving', False):
+        if getattr(ctx, 'int8_serving', False) and not (
+                in_ch == 3 and getattr(ctx, 'bf16_first_conv', True)):
             # true-int path: per-tensor act quant (frozen scale if the context
             # carries one for this site) + per-channel int8 weights on the
             # MXU's native int8 conv (ops/kernels/int_conv.py)
@@ -91,25 +111,31 @@ class QConv(nn.Module):
             bias = (self.param('bias', nn.initializers.zeros,
                                (self.features,), jnp.float32)
                     if self.use_bias else None)
-            act_scale = None
-            if self.site is not None:
-                act_scale = getattr(ctx, 'act_scales', {}).get(self.site.id)
-            if act_scale is None:
-                # dynamic abs-max; record so calibration can freeze it
-                xf32 = x.astype(jnp.float32)
-                qmax = 2.0 ** (act_bits - 1) - 1.0
-                act_scale = jnp.maximum(jnp.max(jnp.abs(xf32)) / qmax, 1e-8)
-                if self.site is not None and hasattr(ctx, 'record_scale'):
-                    ctx.record_scale(self.site.id, act_scale)
-                    if getattr(ctx, 'calibrate', False):
-                        ctx.record_input_stats(self.site.id, xf32)
-            y = int8_conv(x.astype(jnp.float32), w_codes, w_scale, bias,
+            if prequant:
+                act_scale = pre_scale
+            else:
+                act_scale = None
+                if self.site is not None:
+                    act_scale = getattr(ctx, 'act_scales', {}).get(self.site.id)
+                if act_scale is None:
+                    # dynamic abs-max; record so calibration can freeze it
+                    xf32 = x.astype(jnp.float32)
+                    qmax = 2.0 ** (act_bits - 1) - 1.0
+                    act_scale = jnp.maximum(jnp.max(jnp.abs(xf32)) / qmax, 1e-8)
+                    if self.site is not None and hasattr(ctx, 'record_scale'):
+                        ctx.record_scale(self.site.id, act_scale)
+                        if getattr(ctx, 'calibrate', False):
+                            ctx.record_input_stats(self.site.id, xf32)
+            x_in = x if prequant else x.astype(jnp.float32)
+            y = int8_conv(x_in, w_codes, w_scale, bias,
                           strides=_pair(self.strides), padding=pad,
                           groups=self.groups, act_bits=act_bits,
                           act_scale=act_scale, out_dtype=self.dtype)
             if self.site is not None:
                 y = ctx.tap(y, self.site)
             return y
+        if prequant:  # safety: dequantize codes on the float path
+            x = (x.astype(jnp.float32) * pre_scale)
         y = lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=_pair(self.strides),

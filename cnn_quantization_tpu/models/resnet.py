@@ -24,8 +24,34 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..engine.context import Site, TapContext
-from .layers import (QAvgPool, QBatchNorm, QConv, QLinear, QMaxPool,
+from .layers import (QAvgPool, QBatchNorm, QConv, QLinear, QMaxPool, QTensor,
                      SiteNamer, relu)
+
+
+def _serving_block_input(x, ctx, conv1_site):
+    """Int8-resident serving: quantize the block input ONCE at conv1's frozen
+    scale and hand the codes to every consumer (conv1, downsample, residual
+    dequant).  The block-boundary bf16 tensor then has a single consumer
+    (this quantize), so XLA fuses it into the producing fusion and only
+    1-byte codes travel between blocks — measured the dominant HBM traffic
+    of the serving path at the 56x56 stages.
+
+    Returns (x_in, identity): the conv input (QTensor or raw) and the
+    residual tensor.  Falls back to the plain path when not serving or when
+    no frozen scale exists (dynamic serving keeps per-conv abs-max)."""
+    if not getattr(ctx, 'int8_serving', False) or isinstance(x, QTensor):
+        return x, x
+    scale = getattr(ctx, 'act_scales', {}).get(conv1_site.id)
+    if scale is None:
+        return x, x
+    import jax.numpy as jnp
+    act_bits = getattr(ctx, 'act_bits', 8)
+    qmax = 2.0 ** (act_bits - 1) - 1.0
+    scale = jnp.asarray(scale, jnp.float32)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -qmax, qmax).astype(jnp.int8)
+    q = QTensor(codes, scale)
+    return q, q.dequant(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,8 +81,8 @@ class BasicBlock(nn.Module):
         s = self.spec
         fold = s.fold_bn
         dt = jnp.dtype(s.dtype)
-        identity = x
         (c1, b1), (c2, b2) = s.conv_sites
+        x, identity = _serving_block_input(x, ctx, c1)
         out = QConv(s.planes, 3, s.stride, 1, use_bias=fold, site=c1, dtype=dt, name='conv1')(x, ctx)
         if not fold:
             out = QBatchNorm(s.planes, site=b1, name='bn1')(out, ctx)
@@ -81,9 +107,9 @@ class Bottleneck(nn.Module):
         s = self.spec
         fold = s.fold_bn
         dt = jnp.dtype(s.dtype)
-        identity = x
         width = int(s.planes * (s.base_width / 64.0)) * s.groups
         (c1, b1), (c2, b2), (c3, b3) = s.conv_sites
+        x, identity = _serving_block_input(x, ctx, c1)
         out = QConv(width, 1, 1, 0, use_bias=fold, site=c1, dtype=dt, name='conv1')(x, ctx)
         if not fold:
             out = QBatchNorm(width, site=b1, name='bn1')(out, ctx)

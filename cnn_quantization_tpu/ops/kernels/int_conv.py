@@ -46,6 +46,11 @@ def prepare_int8_weights(kernel, *, bits: int = 8):
 
 
 def _quantize_act(x, act_bits: int, act_scale):
+    if jnp.asarray(x).dtype == jnp.int8:
+        # pre-quantized codes (int8-resident path): the caller must supply
+        # the scale they were quantized with
+        assert act_scale is not None, 'int8 codes input requires act_scale'
+        return x, jnp.asarray(act_scale, jnp.float32)
     qmax = 2.0 ** (act_bits - 1) - 1.0
     xf = jnp.asarray(x, jnp.float32)
     if act_scale is None:
@@ -64,6 +69,8 @@ def int8_conv(x, w_codes, w_scale, bias=None, *, kernel_size=None,
     ``w_codes`` [KH, KW, I, O] int8 and ``w_scale`` [O] from
     ``prepare_int8_weights``.  ``kernel_size``/``interpret`` are accepted for
     signature compatibility with the im2col path (shape comes from w_codes).
+    ``x`` may already be int8 codes (with ``act_scale`` = their scale) — the
+    int8-resident path used by the ResNet serving blocks.
     """
     del kernel_size, interpret  # derived from w_codes / native path
     x_q, x_scale = _quantize_act(x, act_bits, act_scale)

@@ -143,3 +143,32 @@ def test_accuracy_meter():
     m.update(logits[:2], labels[:2])  # both right at top1: running avg 4/6
     assert abs(m.avg[1] - 100.0 * 4 / 6) < 1e-4
     assert abs(m.avg[2] - 100.0) < 1e-4
+
+
+def test_tracker_mlflow_forwarding(tmp_path, monkeypatch):
+    """The mlflow branch of MetricsTracker (reference utils/mllog.py:20-34
+    logs params+metrics to a live tracker): verified against a stub module
+    since mlflow isn't installed here — params logged once, metrics
+    forwarded with dots for slashes, run ended."""
+    import sys
+    import types
+    import argparse
+
+    calls = {'params': [], 'metrics': [], 'started': 0, 'ended': 0}
+    stub = types.ModuleType('mlflow')
+    stub.set_tracking_uri = lambda uri: calls.setdefault('uri', uri)
+    stub.start_run = lambda: calls.__setitem__('started', calls['started'] + 1)
+    stub.end_run = lambda: calls.__setitem__('ended', calls['ended'] + 1)
+    stub.log_params = lambda p: calls['params'].append(p)
+    stub.log_metric = lambda k, v, step=None: calls['metrics'].append((k, v, step))
+    monkeypatch.setitem(sys.modules, 'mlflow', stub)
+
+    from cnn_quantization_tpu.utils.tracker import MetricsTracker
+    args = argparse.Namespace(arch='resnet18', qtype='int4')
+    with MetricsTracker(str(tmp_path), 'exp', args, 'run') as tr:
+        tr.log_metric('top1', 73.3)
+        tr.log_metric('site/entropy', 3.5, meter_id='ent', weight=2.0)
+    assert calls['started'] == 1 and calls['ended'] == 1
+    assert calls['params'] and calls['params'][0]['arch'] == 'resnet18'
+    assert ('top1', 73.3, None) in calls['metrics']
+    assert ('site.entropy', 3.5, None) in calls['metrics']
