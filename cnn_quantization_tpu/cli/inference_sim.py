@@ -274,10 +274,11 @@ def main(argv=None):
         if args.serving_int8:
             print(f'=> serving-int8: calibrating frozen activation scales '
                   f'({args.serving_cal})')
+            params_s = engine.prepare_serving_params(params_q)
             scales = engine.freeze_serving_scales(
-                params_q, loader, mode=args.serving_cal,
+                params_s, loader, mode=args.serving_cal,
                 percentile=args.serving_percentile)
-            res = evaluate(engine, params_q, loader, stats=stats,
+            res = evaluate(engine, params_s, loader, stats=stats,
                            quantized='serving_int8', act_scales=scales,
                            subset=args.subset, print_freq=args.print_freq,
                            verbose=True)

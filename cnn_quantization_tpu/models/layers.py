@@ -78,7 +78,15 @@ def _pair(v):
 
 
 class QConv(nn.Module):
-    """Conv2d with bias, tapped output (Conv2dWithId analogue)."""
+    """Conv2d with bias, tapped output (Conv2dWithId analogue).
+
+    ``out_codes=True`` marks convs whose output feeds only a residual add
+    (ResNet downsample convs): at serving time, when calibration froze an
+    output scale (``<site>:out``), the conv emits a ``QTensor`` so the
+    identity tensor crosses HBM as 1-byte codes instead of bf16 — measured
+    the largest remaining bf16 round-trip of the serving path (one 196 MiB
+    tensor per stage at batch 128).
+    """
     features: int
     kernel_size: Any
     strides: Any = 1
@@ -86,6 +94,7 @@ class QConv(nn.Module):
     groups: int = 1
     use_bias: bool = True
     site: Site | None = None
+    out_codes: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -107,7 +116,15 @@ class QConv(nn.Module):
             from ..ops.kernels.int_conv import int8_conv, prepare_int8_weights
             act_bits = getattr(ctx, 'act_bits', 8)
             w_bits = getattr(ctx, 'weight_bits', 8)
-            w_codes, w_scale = prepare_int8_weights(kernel, bits=w_bits)
+            if kernel.dtype == jnp.int8:
+                # offline-prepared tree (QuantEngine.prepare_serving_params):
+                # kernel holds the int8 codes, 'w_scale' their per-channel
+                # scale — no per-call weight quantization, 1-byte HBM reads
+                w_codes = kernel
+                w_scale = self.param('w_scale', nn.initializers.ones,
+                                     (self.features,), jnp.float32)
+            else:
+                w_codes, w_scale = prepare_int8_weights(kernel, bits=w_bits)
             bias = (self.param('bias', nn.initializers.zeros,
                                (self.features,), jnp.float32)
                     if self.use_bias else None)
@@ -131,6 +148,20 @@ class QConv(nn.Module):
                           strides=_pair(self.strides), padding=pad,
                           groups=self.groups, act_bits=act_bits,
                           act_scale=act_scale, out_dtype=self.dtype)
+            if self.out_codes and self.site is not None:
+                out_scale = getattr(ctx, 'act_scales', {}).get(
+                    self.site.id + ':out')
+                if out_scale is None and getattr(ctx, 'calibrate', False):
+                    ctx.record_input_stats(self.site.id + ':out',
+                                           y.astype(jnp.float32))
+                elif out_scale is not None:
+                    # identity path crosses HBM as codes; full int8 grid
+                    # regardless of act_bits (the codes are only dequantized
+                    # for the residual add, never fed to an int conv)
+                    oscale = jnp.asarray(out_scale, jnp.float32)
+                    oc = jnp.clip(jnp.round(y.astype(jnp.float32) / oscale),
+                                  -127, 127).astype(jnp.int8)
+                    y = QTensor(oc, oscale)
             if self.site is not None:
                 y = ctx.tap(y, self.site)
             return y
@@ -168,7 +199,12 @@ class QLinear(nn.Module):
             # conv bit widths (reference weight_classifier/
             # activation_classifier policy, i_q_m.py:414, 437)
             from ..ops.kernels.int_matmul import quantize_sym_int8
-            w_codes, w_scale = quantize_sym_int8(kernel, axis=-1, bits=8)
+            if kernel.dtype == jnp.int8:
+                w_codes = kernel
+                w_scale = self.param('w_scale', nn.initializers.ones,
+                                     (self.features,), jnp.float32)
+            else:
+                w_codes, w_scale = quantize_sym_int8(kernel, axis=-1, bits=8)
             act_scale = None
             if self.site is not None:
                 act_scale = getattr(ctx, 'act_scales', {}).get(self.site.id)
@@ -236,6 +272,12 @@ class QMaxPool(nn.Module):
     site: Site | None = None
 
     def __call__(self, x, ctx: TapContext):
+        prequant = isinstance(x, QTensor)
+        if prequant:
+            # max commutes with the (monotone, symmetric) dequant, so pooling
+            # runs directly on int8 codes — the serving stem's bf16 maxpool
+            # round-trip becomes a 1-byte one
+            x, scale = x.codes, x.scale
         w = _pair(self.window)
         s = _pair(self.strides)
         p = _pair(self.padding)
@@ -245,9 +287,13 @@ class QMaxPool(nn.Module):
                 size = x.shape[1 + d] + 2 * p[d]
                 out_ceil = -(-(size - w[d]) // s[d]) + 1
                 hi_pad[d] = p[d] + max(0, (out_ceil - 1) * s[d] + w[d] - size)
+        init = (jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
         y = lax.reduce_window(
-            x, -jnp.inf, lax.max, (1, w[0], w[1], 1), (1, s[0], s[1], 1),
+            x, init, lax.max, (1, w[0], w[1], 1), (1, s[0], s[1], 1),
             ((0, 0), (p[0], hi_pad[0]), (p[1], hi_pad[1]), (0, 0)))
+        if prequant:
+            y = QTensor(y, scale)
         if self.site is not None:
             y = ctx.tap(y, self.site)
         return y

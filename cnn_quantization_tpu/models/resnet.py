@@ -28,6 +28,15 @@ from .layers import (QAvgPool, QBatchNorm, QConv, QLinear, QMaxPool, QTensor,
                      SiteNamer, relu)
 
 
+def _dequant_identity(identity, dtype):
+    """Residual identity may arrive as int8 codes (downsample out-codes or
+    the stem's pooled codes); dequantize for the add — the dequant fuses
+    into the consuming conv's epilogue, so only 1-byte codes cross HBM."""
+    if isinstance(identity, QTensor):
+        return identity.dequant(dtype)
+    return identity
+
+
 def _serving_block_input(x, ctx, conv1_site):
     """Int8-resident serving: quantize the block input ONCE at conv1's frozen
     scale and hand the codes to every consumer (conv1, downsample, residual
@@ -93,10 +102,11 @@ class BasicBlock(nn.Module):
         if s.has_downsample:
             dc, db = s.ds_sites
             identity = QConv(s.out_planes, 1, s.stride, 0, use_bias=fold,
-                             site=dc, dtype=dt, name='downsample_0')(x, ctx)
+                             site=dc, out_codes=fold, dtype=dt,
+                             name='downsample_0')(x, ctx)
             if not fold:
                 identity = QBatchNorm(s.out_planes, site=db, name='downsample_1')(identity, ctx)
-        return relu(out + identity)
+        return relu(out + _dequant_identity(identity, dt))
 
 
 class Bottleneck(nn.Module):
@@ -125,10 +135,11 @@ class Bottleneck(nn.Module):
         if s.has_downsample:
             dc, db = s.ds_sites
             identity = QConv(s.out_planes, 1, s.stride, 0, use_bias=fold,
-                             site=dc, dtype=dt, name='downsample_0')(x, ctx)
+                             site=dc, out_codes=fold, dtype=dt,
+                             name='downsample_0')(x, ctx)
             if not fold:
                 identity = QBatchNorm(s.out_planes, site=db, name='downsample_1')(identity, ctx)
-        return relu(out + identity)
+        return relu(out + _dequant_identity(identity, dt))
 
 
 class ResNet(nn.Module):
@@ -149,6 +160,19 @@ class ResNet(nn.Module):
         if not self.fold_bn:
             x = QBatchNorm(64, site=bn_site, name='bn1')(x, ctx)
         x = relu(x)
+        if getattr(ctx, 'int8_serving', False) and self.fold_bn:
+            # serving: quantize the stem output at the first block conv's
+            # frozen input scale and max-pool on int8 codes (max commutes
+            # with dequant) — the 112x112 bf16 stem tensor becomes 1-byte
+            first_site = self.stage_specs[0][0].conv_sites[0][0]
+            scale = getattr(ctx, 'act_scales', {}).get(first_site.id)
+            if scale is not None:
+                act_bits = getattr(ctx, 'act_bits', 8)
+                qmax = 2.0 ** (act_bits - 1) - 1.0
+                s = jnp.asarray(scale, jnp.float32)
+                codes = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                                 -qmax, qmax).astype(jnp.int8)
+                x = QTensor(codes, s)
         x = QMaxPool(3, 2, 1, site=mp_site, name='maxpool')(x, ctx)
         for li, stage in enumerate(self.stage_specs):
             for bi, spec in enumerate(stage):

@@ -193,3 +193,132 @@ def attach_fake_stats(q, table):
 def site_stats_from_table(table):
     """Convert a (stat, kind)->value table to our site_stats dict form."""
     return {f'{kind}_{stat}': v for (stat, kind), v in table.items()}
+
+
+_manager_ns = None
+
+
+def load_reference_manager():
+    """Import the reference's full inference manager stack on CPU (cached).
+
+    Returns a namespace with the manager module (``QMI``, ``Singleton``,
+    the ``*WithId`` layer classes), ``absorb_bn`` (patched CPU-safe — the
+    reference hardcodes ``.cuda()`` on the re-registered BN buffers,
+    utils/absorb_bn.py:19-20), the statistic-manager modules, and
+    ``reset(stats_base_dir=None)`` which clears every singleton/id-counter
+    so each test config starts exactly like a fresh reference process.
+    """
+    global _manager_ns
+    if _manager_ns is not None:
+        return _manager_ns
+
+    load_reference()  # installs torchvision/int_quantization stubs + sys.path
+
+    import torch
+    from itertools import count
+
+    import utils.absorb_bn as absorb_bn_mod
+    from utils.misc import Singleton
+    import pytorch_quantizer.quantization.inference.inference_quantization_manager as iqm
+    import pytorch_quantizer.quantization.inference.statistic_manager as sm_mod
+    import pytorch_quantizer.quantization.inference.statistic_manager_perchannel as smpc_mod
+    import pytorch_quantizer.quantization.inference.distance_stats as ds_mod
+
+    _orig_cuda = torch.Tensor.cuda
+
+    def search_absorbe_bn_cpu(model):
+        """Reference BN fold with ``.cuda()`` neutralized (CPU test host)."""
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        try:
+            absorb_bn_mod.search_absorbe_bn(model)
+        finally:
+            torch.Tensor.cuda = _orig_cuda
+
+    # StatisticManager.__init__ mutates its *mutable default* stats list
+    # (statistic_manager.py:16-31 appends the error columns to it), so a
+    # second instantiation in one process would duplicate columns; snapshot
+    # the pristine defaults now, restore copies on every reset.
+    _sm_defaults = tuple(
+        list(v) if isinstance(v, list) else v
+        for v in sm_mod.StatisticManager.__init__.__defaults__)
+    _smpc_defaults = tuple(
+        list(v) if isinstance(v, list) else v
+        for v in smpc_mod.StatisticManagerPerChannel.__init__.__defaults__)
+
+    def reset(stats_base_dir=None):
+        """Fresh-process state: clear singletons, restore nn classes, zero the
+        construction-order id counters, and redirect the stats store."""
+        for cls in (iqm.QuantizationManagerInference, sm_mod.StatisticManager,
+                    smpc_mod.StatisticManagerPerChannel, ds_mod.MeasureStatistics):
+            Singleton._instances.pop(cls, None)
+        sm_mod.StatisticManager.__init__.__defaults__ = tuple(
+            list(v) if isinstance(v, list) else v for v in _sm_defaults)
+        smpc_mod.StatisticManagerPerChannel.__init__.__defaults__ = tuple(
+            list(v) if isinstance(v, list) else v for v in _smpc_defaults)
+        for cls in (iqm.Conv2dWithId, iqm.LinearWithId, iqm.BatchNorm2dWithId,
+                    iqm.MaxPool2dWithId, iqm.AvgPool2dWithId, iqm.ReLUWithId):
+            cls._id = count(0)
+        # restore original nn classes in case a prior context leaked
+        torch.nn.Linear = iqm.nn.Linear = torch.nn.modules.linear.Linear
+        torch.nn.Conv2d = iqm.nn.Conv2d = torch.nn.modules.conv.Conv2d
+        torch.nn.BatchNorm2d = iqm.nn.BatchNorm2d = torch.nn.modules.batchnorm.BatchNorm2d
+        torch.nn.MaxPool2d = iqm.nn.MaxPool2d = torch.nn.modules.pooling.MaxPool2d
+        torch.nn.AvgPool2d = iqm.nn.AvgPool2d = torch.nn.modules.pooling.AvgPool2d
+        torch.nn.ReLU = iqm.nn.ReLU = torch.nn.modules.activation.ReLU
+        if stats_base_dir is not None:
+            sm_mod.base_dir = str(stats_base_dir)
+            smpc_mod.base_dir = str(stats_base_dir)
+            ds_mod.base_dir = str(stats_base_dir)
+
+    ns = types.SimpleNamespace(
+        iqm=iqm, sm_mod=sm_mod, smpc_mod=smpc_mod, Singleton=Singleton,
+        search_absorbe_bn=search_absorbe_bn_cpu, reset=reset)
+    _manager_ns = ns
+    return ns
+
+
+def make_ref_args(**overrides):
+    """argparse-namespace twin of the reference CLI defaults
+    (inference/inference_sim.py:52-112) — only the fields the manager reads."""
+    defaults = dict(
+        arch='resnet18', qtype=None, qweight='int8', q_off=False,
+        clipping='no', stats_kind='mean', preserve_zero=False,
+        kld_threshold=False, per_channel_quant_weights=False,
+        per_channel_quant_act=False, bit_alloc_act=False,
+        bit_alloc_weight=False, bit_alloc_rmode='round',
+        bit_alloc_prior='gaus', bit_alloc_target_act=None,
+        bit_alloc_target_weight=None, bias_corr_act=False,
+        bias_corr_weight=False, var_corr_weight=False,
+        measure_entropy=False, mid_thread_quant=False,
+        stats_mode='no', stats_folder=None, stats_batch_avg=False,
+        measure_stats=False, rho_act=None, rho_weight=None)
+    defaults.update(overrides)
+    return types.SimpleNamespace(**defaults)
+
+
+def make_ref_qparams(args):
+    """Twin of the reference CLI's ``get_params()``
+    (inference/inference_sim.py:345-372)."""
+    return {
+        'int': {
+            'clipping': args.clipping,
+            'stats_kind': args.stats_kind,
+            'true_zero': args.preserve_zero,
+            'kld': args.kld_threshold,
+            'pcq_weights': args.per_channel_quant_weights,
+            'pcq_act': args.per_channel_quant_act,
+            'bit_alloc_act': args.bit_alloc_act,
+            'bit_alloc_weight': args.bit_alloc_weight,
+            'bit_alloc_rmode': args.bit_alloc_rmode,
+            'bit_alloc_prior': args.bit_alloc_prior,
+            'bit_alloc_target_act': args.bit_alloc_target_act,
+            'bit_alloc_target_weight': args.bit_alloc_target_weight,
+            'bcorr_act': args.bias_corr_act,
+            'bcorr_weight': args.bias_corr_weight,
+            'vcorr_weight': args.var_corr_weight,
+            'logger': None,
+            'measure_entropy': args.measure_entropy,
+            'mtd_quant': args.mid_thread_quant,
+        },
+        'qmanager': {'rho_act': args.rho_act, 'rho_weight': args.rho_weight},
+    }
