@@ -107,6 +107,22 @@ def make_loader(data_dir: str | None, arch: str, batch_size: int, *,
     if size is None:
         size = 299 if arch == 'inception_v3' else 224
     resize = max(size + 32, size * 256 // 224)
+    if data_dir and data_dir.endswith('.npz') and os.path.exists(data_dir):
+        # packed eval set: arrays 'images' [N,H,W,3] float32 (already
+        # preprocessed) and 'labels' [N] int — the CLI analogue of the
+        # reference's ImageFolder val dir for custom/synthetic tasks
+        # (used by tests/test_accuracy_ordering.py's trained-CNN recipes)
+        with np.load(data_dir) as z:
+            images = np.asarray(z['images'], np.float32)
+            labels = np.asarray(z['labels'], np.int32)
+        if shuffle:
+            perm = np.random.RandomState(seed).permutation(len(images))
+            images, labels = images[perm], labels[perm]
+        if limit is not None:
+            images, labels = images[:limit], labels[:limit]
+        batches = [(images[i:i + batch_size], labels[i:i + batch_size])
+                   for i in range(0, len(images), batch_size)]
+        return batches, True
     valdir = None
     if data_dir:
         cand = os.path.join(data_dir, 'val')

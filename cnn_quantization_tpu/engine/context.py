@@ -189,7 +189,14 @@ class QuantizeContext(TapContext):
         self.aux: dict[str, Any] = {}
 
     def config_for(self, site: Site) -> QuantConfig | None:
-        tag = 'ignored' if site.id in self.ignore_ids else site.tag
+        # The 8-bit ignore list only matches when a stat_id is passed, which
+        # the reference's intercepting layers do ONLY in use-stats mode
+        # (inference_quantization_manager.py:174-207 vs :549-556: the
+        # no-stats branch omits stat_id, so even the automatic int4
+        # 'conv0_activation' entry does not fire there) — verified
+        # differentially in tests/test_full_model_parity.py.
+        use_ignore = self.stats is not None
+        tag = 'ignored' if use_ignore and site.id in self.ignore_ids else site.tag
         return self.configs.get(tag)
 
     def site_stats(self, site: Site, cfg: QuantConfig):

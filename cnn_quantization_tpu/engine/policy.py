@@ -128,11 +128,22 @@ class QuantPolicy:
             measure_entropy=False, force_positive=False, mtd_quant=False,
             stochastic=False)
 
+        # The reference's AvgPool2dWithId passes its tag POSITIONALLY as the
+        # ``id`` argument (inference_quantization_manager.py:95-99), so every
+        # avgpool output is quantized by the *default* int8 quantizer — raw
+        # user params (clipping/pcq_w/pcq_a/mtd all live), force_positive
+        # False (int_quantizer.py:90) — never by 'activation_pooling'.  The
+        # published numbers include this quirk; mirrored here and verified
+        # differentially in tests/test_full_model_parity.py.
+        default = dataclasses.replace(base(8), force_positive=False,
+                                      stochastic=False)
+
         return {
             'activation': activation,
             'activation_linear': activation_linear,
             'activation_classifier': activation_classifier,
             'activation_pooling': activation_pooling,
+            'default': default,
             'weight': weight,
             'weight_classifier': weight_classifier,
             'bias': None,

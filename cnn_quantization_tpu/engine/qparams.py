@@ -158,6 +158,12 @@ def _extract_affine(cfg: QuantConfig, site: Site, site_stats, shape):
             return SiteQParams(delta, offset, qmax, True)
         return SiteQParams(delta, offset, jnp.float32(cfg.qmax), False)
 
+    if cfg.pcq_w:
+        # default-quantizer pcq_w branch (avgpool quirk): per-SAMPLE min/max
+        # from the live tensor (int_quantizer.py:453-461) — inherently
+        # batch-dependent, cannot be frozen; dynamic path mirrors it.
+        return None
+
     if per_channel_ok:
         if not has('max', cfg.stats_kind):
             return None

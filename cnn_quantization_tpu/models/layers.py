@@ -68,9 +68,13 @@ class SiteNamer:
         return Site(id=f'maxpool{i}_out', tag='activation_pooling', kind='maxpool')
 
     def avgpool(self, classifier: bool = False) -> Site:
+        """AvgPool2dWithId computes a classifier/pooling tag but passes it
+        positionally as the ``id`` argument of quantize_instant
+        (inference_quantization_manager.py:95-99), so the reference always
+        quantizes avgpool outputs with the *default* int8 quantizer — the
+        'default' tag here mirrors that quirk (see engine/policy.py)."""
         i = self.next('avgpool')
-        tag = 'activation_classifier' if classifier else 'activation_pooling'
-        return Site(id=f'avgpool{i}_out', tag=tag, kind='avgpool')
+        return Site(id=f'avgpool{i}_out', tag='default', kind='avgpool')
 
 
 def _pair(v):

@@ -247,6 +247,27 @@ def quantize_activation(x, cfg: QuantConfig, *, half_range: bool = False,
                                               half_range=half)
         return _apply_fake_quant(x, cfg, delta, offset, cfg.qmax, seed=seed), aux
 
+    if cfg.pcq_w:
+        # The reference dispatch routes pcq_w AHEAD of pcq_a even for
+        # activations (int_quantizer.py:101-106).  Reachable via the default
+        # quantizer — the avgpool tag-as-id quirk (see engine/policy.py) —
+        # which then runs gemmlowpQuantizeWeightsPerChannel on the 4-D
+        # activation (int_quantizer.py:453-476): per-dim0 (i.e. per-SAMPLE)
+        # min/max over the flattened rest, never consulting stats.
+        t = x.reshape(x.shape[0], -1)
+        min_v = jnp.min(t, axis=1)
+        max_v = jnp.max(t, axis=1)
+        bit_alloc = None
+        if cfg.bit_alloc_weight and cfg.num_bits <= 4:
+            std = jnp.std(t, axis=1, ddof=1)
+            bit_alloc = get_bits_alloc_fixed_target(
+                std, cfg.target_weight(), cfg.bit_alloc_round)
+        out, ent = _fake_quant_with_alloc(t, cfg, max_v - min_v, min_v,
+                                          bit_alloc, channel_axis=0, seed=seed)
+        if ent is not None:
+            aux['entropy'] = ent
+        return out.reshape(x.shape), aux
+
     if per_channel_ok:
         # Per-channel min/max (int_quantizer.py:409-451)
         if half:

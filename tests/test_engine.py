@@ -149,14 +149,25 @@ def test_evaluate_loop(small_resnet):
 
 
 def test_ignore_ids_route_to_int8(small_resnet):
+    """The 8-bit ignore list fires only in use-stats mode, because the
+    reference's no-stats layer branches omit stat_id and quantize_instant
+    matches the list against stat_id
+    (inference_quantization_manager.py:549-556) — differentially verified
+    in tests/test_full_model_parity.py."""
     model, meta, params = small_resnet
     x = np.abs(np.random.RandomState(2).rand(2, 64, 64, 3)).astype(np.float32)
     pol = _policy(clipping='no', bit_alloc_act=False)
     eng_all4 = QuantEngine(model, pol, meta, ignore_ids=())
     eng_ign = QuantEngine(model, pol, meta, ignore_ids=('conv5_activation',))
-    l1, _ = eng_all4.jit_forward()(params, None, x)
-    l2, _ = eng_ign.jit_forward()(params, None, x)
+    stats = collect_statistics(eng_all4.jit_collect(), params,
+                               [(x, np.zeros(2, np.int32))])
+    l1, _ = eng_all4.jit_forward()(params, stats, x)
+    l2, _ = eng_ign.jit_forward()(params, stats, x)
     assert not np.allclose(np.asarray(l1), np.asarray(l2))
+    # no-stats mode: the list does not fire (reference parity)
+    l3, _ = eng_all4.jit_forward()(params, None, x)
+    l4, _ = eng_ign.jit_forward()(params, None, x)
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(l4))
 
 
 def test_evaluate_resume(tmp_path):
