@@ -57,7 +57,11 @@ def build_parser():
                    help='serving scale calibration: abs-max, |x| percentile, '
                         'or ACIQ-Laplace optimal clip')
     p.add_argument('--serving_percentile', default=99.99, type=float,
-                   help='percentile for --serving_cal percentile (99.9 or 99.99)')
+                   help='percentile for --serving_cal percentile (any value, '
+                        'used exactly)')
+    p.add_argument('--serving_s2d_stem', action='store_true',
+                   help='space-to-depth int8 stem rewrite (opt-in; measured '
+                        '~parity with the default bf16 stem on v5e/XLA)')
     p.add_argument('--shuffle', '-sh', action='store_true')
     p.add_argument('--stochastic', '-s', action='store_true', default=False,
                    help='stochastic rounding (Pallas PRNG path)')
@@ -274,7 +278,12 @@ def main(argv=None):
         if args.serving_int8:
             print(f'=> serving-int8: calibrating frozen activation scales '
                   f'({args.serving_cal})')
-            params_s = engine.prepare_serving_params(params_q)
+            # s2d stem is opt-in (measured ~parity with bf16 on v5e/XLA —
+            # see engine.prepare_serving_params) and needs an even input size
+            in_size = args.input_size or meta.input_size
+            params_s = engine.prepare_serving_params(
+                params_q,
+                s2d_stem=args.serving_s2d_stem and in_size % 2 == 0)
             scales = engine.freeze_serving_scales(
                 params_s, loader, mode=args.serving_cal,
                 percentile=args.serving_percentile)

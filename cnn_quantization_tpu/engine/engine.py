@@ -147,15 +147,29 @@ class QuantEngine:
 
         return fwd
 
-    def prepare_serving_params(self, params_q):
+    def prepare_serving_params(self, params_q, *, s2d_stem: bool = False):
         """Offline weight quantization for true-int8 serving: conv/linear
         kernels become int8 codes (same shape, 1/4 the HBM bytes) with a
         per-output-channel ``w_scale`` leaf; the serving forward then does no
-        per-call weight quantization at all.  The first conv (in_ch==3) stays
-        f32 — it runs in bf16 at serving time (ServingInt8Context
-        .bf16_first_conv).  Numerics are identical to the in-call
-        quantization path by construction (same quantize_sym_int8 call).
+        per-call weight quantization at all.  Numerics are identical to the
+        in-call quantization path by construction (same quantize_sym_int8
+        call).
+
+        The first conv (in_ch==3) stays f32 by default and runs in bf16 at
+        serving time (ServingInt8Context.bf16_first_conv).  ``s2d_stem=True``
+        (BN-folded ResNet 7x7/2 stems only, even input sizes) instead
+        **space-to-depth transforms** the kernel to an equivalent [4,4,12,O]
+        stride-1 kernel quantized to int8 (the reference forces first-layer
+        weights to 8 bits anyway, i_q_m.py:360-366); the conv then consumes
+        s2d(pad(x, 3)) at stride 1 (see models/layers.py QConv).  Measured
+        stem+maxpool at batch 128 / 224^2 on v5e (README "kernel lowering
+        notes"): bf16 7x7 522us; direct int8 7x7 838us (XLA's int8 conv
+        collapses at 3 input channels); s2d int8 ~500us with pre-transformed
+        input but 853us with the on-device int8 s2d transpose — so bf16
+        stays the default and s2d is the documented opt-in for compilers /
+        input pipelines where the transform is free.
         """
+        import jax.numpy as jnp
         from ..ops.kernels.int_matmul import quantize_sym_int8
         from .policy import parse_qtype_bits
 
@@ -165,8 +179,16 @@ class QuantEngine:
         def transform(path, leaf):
             kernel = leaf['kernel']
             if kernel.ndim == 4:
-                if kernel.shape[2] == 3:  # bf16 first conv stays float
-                    return leaf
+                if kernel.shape[2] == 3:
+                    if (s2d_stem and self.meta.fold_bn
+                            and kernel.shape[:3] == (7, 7, 3)):
+                        wk = s2d_stem_kernel(jnp.asarray(kernel, jnp.float32))
+                        codes, scale = quantize_sym_int8(wk, axis=-1, bits=8)
+                        new = dict(leaf)
+                        new['kernel'] = codes
+                        new['w_scale'] = scale
+                        return new
+                    return leaf  # bf16 first conv stays float
                 name8 = any(n in path for n in self.meta.eight_bit_weight_names)
                 bits = 8 if name8 else wb
             else:
@@ -238,7 +260,11 @@ class QuantEngine:
             # ':out' sites (downsample identity codes) likewise — their codes
             # are only dequantized for the residual add, never fed to a
             # narrowed-grid conv
+            # conv0 (the stem / in_ch==3 conv) is the reference's automatic
+            # 8-bit exception for int4 runs (i_q_m.py:336-338) — the s2d stem
+            # quantizes its input on the full int8 grid accordingly
             bits = (8 if site_id.startswith('linear')
+                    or site_id.startswith('conv0_')
                     or site_id.endswith(':out') else act_bits)
             qmax = 2.0 ** (bits - 1) - 1.0
             absmax = max(stats['absmax'])
@@ -286,6 +312,38 @@ class QuantEngine:
 
     def jit_collect(self, **kw):
         return jax.jit(self.make_collect(**kw))
+
+
+def s2d_stem_kernel(kernel):
+    """Space-to-depth transform of a 7x7/2 pad-3 stem kernel to the
+    equivalent [4,4,12,O] stride-1 kernel.
+
+    Output row i of the original conv covers padded-image rows 2i..2i+6.
+    After s2d by 2 (channel order: row-phase, col-phase, channel), s2d row
+    i+j holds padded rows (2(i+j), 2(i+j)+1), so the window is s2d rows
+    i..i+3 with kernel tap [j, phase] = w8[2j+phase] where w8 is the 7x7
+    kernel zero-padded to 8x8.  Exactness vs the original conv is tested in
+    tests/test_serving_int8.py.
+    """
+    import jax.numpy as jnp
+    out_ch = kernel.shape[-1]
+    w8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # 8x8x3xO
+    return (w8.reshape(4, 2, 4, 2, 3, out_ch)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 12, out_ch))
+
+
+def s2d_stem_input(x):
+    """pad(x, 3) then space-to-depth by 2: [N,H,W,C] -> [N,(H+6)/2,(W+6)/2,4C]
+    (channel order row-phase, col-phase, channel — matches s2d_stem_kernel).
+    Requires H+6 and W+6 even (any even input size).  For int8 codes the
+    zero padding is exact (symmetric quantization, zero-point 0)."""
+    import jax.numpy as jnp
+    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    n, h, w, c = x.shape
+    return (x.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c))
 
 
 def _map_weight_leaves(params, transform, prefix: str = ''):

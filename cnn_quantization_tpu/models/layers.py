@@ -108,18 +108,37 @@ class QConv(nn.Module):
         if prequant:
             x, pre_scale = x.codes, x.scale
         in_ch = x.shape[-1]
-        kernel = self.param(
-            'kernel', nn.initializers.he_normal(),
-            (kh, kw, in_ch // self.groups, self.features), jnp.float32)
+        if (getattr(ctx, 'int8_serving', False)
+                and self.scope.has_variable('params', 'kernel')):
+            # serving apply: read the prepared kernel without flax's shape
+            # check — prepare_serving_params(s2d_stem=True) stores the stem
+            # kernel in its space-to-depth form [4,4,12,O], a different
+            # shape than the declared 7x7x3xO
+            kernel = self.scope.get_variable('params', 'kernel')
+        else:
+            kernel = self.param(
+                'kernel', nn.initializers.he_normal(),
+                (kh, kw, in_ch // self.groups, self.features), jnp.float32)
         pad = _pair(self.padding)
-        if getattr(ctx, 'int8_serving', False) and not (
-                in_ch == 3 and getattr(ctx, 'bf16_first_conv', True)):
+        # s2d stem (opt-in): prepare_serving_params(s2d_stem=True)
+        # transformed the 7x7/2 stem kernel to an equivalent int8 [4,4,12,O]
+        # stride-1 kernel (engine.py s2d_stem_kernel).  Not the default:
+        # measured ~parity with the bf16 stem on v5e/XLA (see
+        # prepare_serving_params docstring + README kernel lowering notes)
+        stem_s2d = (in_ch == 3 and kernel.ndim == 4
+                    and kernel.dtype == jnp.int8
+                    and kernel.shape[:3] == (4, 4, 12))
+        if getattr(ctx, 'int8_serving', False) and (stem_s2d or not (
+                in_ch == 3 and getattr(ctx, 'bf16_first_conv', True))):
             # true-int path: per-tensor act quant (frozen scale if the context
             # carries one for this site) + per-channel int8 weights on the
             # MXU's native int8 conv (ops/kernels/int_conv.py)
             from ..ops.kernels.int_conv import int8_conv, prepare_int8_weights
             act_bits = getattr(ctx, 'act_bits', 8)
             w_bits = getattr(ctx, 'weight_bits', 8)
+            if stem_s2d:
+                act_bits = 8  # first layer is the 8-bit exception
+                # (reference i_q_m.py:336-338, 360-366)
             if kernel.dtype == jnp.int8:
                 # offline-prepared tree (QuantEngine.prepare_serving_params):
                 # kernel holds the int8 codes, 'w_scale' their per-channel
@@ -147,11 +166,22 @@ class QConv(nn.Module):
                         ctx.record_scale(self.site.id, act_scale)
                         if getattr(ctx, 'calibrate', False):
                             ctx.record_input_stats(self.site.id, xf32)
-            x_in = x if prequant else x.astype(jnp.float32)
-            y = int8_conv(x_in, w_codes, w_scale, bias,
-                          strides=_pair(self.strides), padding=pad,
-                          groups=self.groups, act_bits=act_bits,
-                          act_scale=act_scale, out_dtype=self.dtype)
+            if stem_s2d:
+                # quantize the image at the frozen (or just-recorded) scale,
+                # THEN pad + space-to-depth in the int8 domain (zero padding
+                # is exact at zero-point 0), stride-1 equivalent conv
+                from ..engine.engine import s2d_stem_input
+                codes = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                                 -127, 127).astype(jnp.int8)
+                y = int8_conv(s2d_stem_input(codes), w_codes, w_scale, bias,
+                              strides=(1, 1), padding=(0, 0), act_bits=8,
+                              act_scale=act_scale, out_dtype=self.dtype)
+            else:
+                x_in = x if prequant else x.astype(jnp.float32)
+                y = int8_conv(x_in, w_codes, w_scale, bias,
+                              strides=_pair(self.strides), padding=pad,
+                              groups=self.groups, act_bits=act_bits,
+                              act_scale=act_scale, out_dtype=self.dtype)
             if self.out_codes and self.site is not None:
                 out_scale = getattr(ctx, 'act_scales', {}).get(
                     self.site.id + ':out')

@@ -232,6 +232,68 @@ def test_serving_out_codes_and_stem_codes_close_to_fp32():
     assert bool((jnp.argmax(l_s, -1) == jnp.argmax(l_fp, -1)).all())
 
 
+def test_s2d_stem_transform_exact():
+    """The space-to-depth stem rewrite (engine.s2d_stem_kernel/_input) is an
+    EXACT reformulation of the 7x7/2 pad-3 conv: same outputs in f32, so the
+    only serving-time approximation it adds is the (policy-mandated 8-bit)
+    quantization of the stem weights and input."""
+    from jax import lax
+    from cnn_quantization_tpu.engine.engine import (s2d_stem_input,
+                                                    s2d_stem_kernel)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 8).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    got = lax.conv_general_dilated(
+        s2d_stem_input(x), s2d_stem_kernel(w), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_serving_s2d_stem_end_to_end():
+    """Opt-in s2d serving preparation transforms the ResNet stem to int8
+    [4,4,12,O] codes; the frozen forward stays within the serving error
+    budget vs fp32 and close to the bf16-stem serving path."""
+    model, meta = build_model('resnet18')
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, TapContext())['params']
+    eng = QuantEngine(model, QuantPolicy(arch='resnet18', qtype='int8',
+                                         qweight='int8'), meta)
+    pq = eng.quantize_params(params)
+    sp = eng.prepare_serving_params(pq, s2d_stem=True)
+    assert sp['conv1']['kernel'].dtype == jnp.int8
+    assert sp['conv1']['kernel'].shape == (4, 4, 12, 64)
+    assert sp['conv1']['w_scale'].shape == (64,)
+
+    rng = np.random.RandomState(0)
+    batches = [(rng.rand(2, 64, 64, 3).astype(np.float32),
+                np.zeros(2, np.int32)) for _ in range(2)]
+    scales = eng.freeze_serving_scales(sp, batches)
+    assert 'conv0_activation' in scales  # stem input (the image) now frozen
+
+    im = jnp.asarray(batches[0][0])
+    fwd = jax.jit(eng.make_forward(quantized='serving_int8',
+                                   act_scales=scales))
+    l_s2d, aux = fwd(sp, None, im)
+    assert aux == {}
+    l_fp, _ = eng.jit_forward(quantized=False)(params, None, im)
+    rel = float(jnp.linalg.norm(l_s2d - l_fp) / jnp.linalg.norm(l_fp))
+    assert rel < 0.03, rel
+    assert bool((jnp.argmax(l_s2d, -1) == jnp.argmax(l_fp, -1)).all())
+
+    # vs bf16-stem serving: the only delta is the stem quantization
+    sp_bf = eng.prepare_serving_params(pq, s2d_stem=False)
+    sc_bf = eng.freeze_serving_scales(sp_bf, batches)
+    l_bf, _ = jax.jit(eng.make_forward(quantized='serving_int8',
+                                       act_scales=sc_bf))(sp_bf, None, im)
+    rel2 = float(jnp.linalg.norm(l_s2d - l_bf) / jnp.linalg.norm(l_bf))
+    assert rel2 < 0.03, rel2  # delta = int8 stem weights + int8 image only
+
+
 def test_serving_matches_f64_fake_quant_sim_per_layer(monkeypatch):
     """Every serving conv output == the f64 fake-quant simulation of the
     SAME input codes, within a DERIVED bound (VERDICT r2 weak #3).
