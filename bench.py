@@ -139,6 +139,7 @@ def main():
             'bf16_images_per_sec': round(ips_fp, 2),
             'mfu_int8': round(rep.compute_util, 4),
             'bandwidth_util': round(rep.bandwidth_util, 4),
+            'mfu_ceiling_mem': round(rep.mem_roofline_mfu, 4),
             'bound': rep.bound,
         }))
     except Exception as e:  # noqa: BLE001 — bench must always emit a line

@@ -75,6 +75,12 @@ def int8_conv(x, w_codes, w_scale, bias=None, *, kernel_size=None,
     del kernel_size, interpret  # derived from w_codes / native path
     x_q, x_scale = _quantize_act(x, act_bits, act_scale)
     pad = ((padding[0], padding[0]), (padding[1], padding[1]))
+    # Note: lowering 1x1 convs as explicit int8 GEMMs (reshape + dot_general)
+    # was measured and rejected — isolated, the stage-4 expansion shape
+    # (7^2 spatial, 512->2048) runs 84us as conv vs 48us as dot, but inside
+    # the full serving graph the rewrite costs ~1% end-to-end (fusion
+    # boundaries change), and every other 1x1 shape is 1.4-2.7x SLOWER as a
+    # dot.  See README "kernel lowering notes".
     acc = lax.conv_general_dilated(
         x_q, w_codes, window_strides=tuple(strides), padding=pad,
         feature_group_count=groups,

@@ -64,6 +64,17 @@ class RooflineReport:
     def bound(self):
         return 'compute' if self.compute_util >= self.bandwidth_util else 'memory'
 
+    @property
+    def mem_roofline_mfu(self):
+        """The compute utilization the memory roofline permits at this
+        byte count: flops / (peak_flops * bytes / peak_bw).  compute_util
+        close to this value means the path is running at the HBM limit and
+        only reducing bytes-per-call can raise MFU further."""
+        if self.bytes_per_call == 0:
+            return float('inf')
+        return (self.flops_per_call / self.bytes_per_call
+                * self.peak_bw / self.peak_flops)
+
     def __str__(self):
         return (f'{self.flops_per_call / 1e9:.2f} GFLOP/call @ '
                 f'{self.calls_per_sec:.1f} calls/s -> '
