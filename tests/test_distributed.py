@@ -54,6 +54,23 @@ def test_device_peaks_has_keys():
     assert {'bf16_flops', 'int8_ops', 'hbm_gbps'} <= set(p)
 
 
+def test_roofline_report_fields():
+    """RooflineReport arithmetic, including the memory-roofline MFU ceiling
+    bench.py emits: at 1 byte/flop on a machine with peak 100 flops/s and
+    10 B/s, memory caps utilization at (1 flop/B * 10 B/s) / 100 = 10%."""
+    from cnn_quantization_tpu.utils.profiling import RooflineReport
+    rep = RooflineReport(flops_per_call=50.0, bytes_per_call=50.0,
+                         calls_per_sec=0.1, achieved_flops=5.0,
+                         achieved_bw=5.0, peak_flops=100.0, peak_bw=10.0)
+    assert rep.compute_util == 0.05
+    assert rep.bandwidth_util == 0.5
+    assert rep.bound == 'memory'
+    assert abs(rep.mem_roofline_mfu - 0.10) < 1e-12
+    # compute_util can never legitimately exceed the memory ceiling when
+    # the byte count is honest; here 0.05 < 0.10 as required
+    assert rep.compute_util <= rep.mem_roofline_mfu
+
+
 def test_two_process_sharded_eval(tmp_path):
     """Real multi-process coverage: 2 workers x 2 virtual CPU devices,
     jax.distributed.initialize on localhost, a 4-device global data mesh,
