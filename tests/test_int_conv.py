@@ -104,6 +104,27 @@ def test_int8_conv_grouped_matches_dequantized_float_conv():
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_int8_conv_depthwise_matches_dequantized_float_conv():
+    """True depthwise (groups == channels, the MobileNet-v2 hot case):
+    int32 accumulation over a single input channel per group must equal the
+    dequantized-float conv exactly."""
+    rng = np.random.RandomState(6)
+    c = 32
+    x = rng.randn(2, 16, 16, c).astype(np.float32)
+    w = (rng.randn(3, 3, 1, c).astype(np.float32) * 0.1)
+    w_codes, w_scale = prepare_int8_weights(jnp.asarray(w))
+    got = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                               strides=(1, 1), padding=(1, 1), groups=c))
+    x_q, x_scale = quantize_sym_int8(jnp.asarray(x))
+    x_deq = np.asarray(x_q, np.float32) * float(x_scale)
+    w_deq = np.asarray(w_codes, np.float32) * np.asarray(w_scale)
+    want = lax.conv_general_dilated(
+        jnp.asarray(x_deq), jnp.asarray(w_deq), (1, 1), ((1, 1), (1, 1)),
+        feature_group_count=c,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_int8_conv_frozen_act_scale():
     rng = np.random.RandomState(5)
     x = rng.randn(2, 8, 8, 8).astype(np.float32)

@@ -232,6 +232,30 @@ def test_serving_out_codes_and_stem_codes_close_to_fp32():
     assert bool((jnp.argmax(l_s, -1) == jnp.argmax(l_fp, -1)).all())
 
 
+def test_serving_int8_mobilenet_v2_runs():
+    """Serving on a depthwise architecture (MobileNet-v2): the true-int path
+    must run end to end (53 quantized convs incl. groups==channels) and stay
+    sane.  Per-layer arithmetic is exact (test_int_conv depthwise test; the
+    f64 per-layer sim bound covers ResNet) — end to end with RANDOM weights
+    the per-tensor activation scales compound to ~0.17 relative logit error,
+    the well-known MobileNet int8 sensitivity (the reason per-channel
+    activation quantization exists), so this asserts a loose sanity bound,
+    not ResNet's 0.03."""
+    model, meta = build_model('mobilenet_v2')
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                    .astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, TapContext())['params']
+    eng = QuantEngine(model, QuantPolicy(arch='mobilenet_v2', qtype='int8',
+                                         qweight='int8'), meta)
+    pq = eng.quantize_params(params)
+    sp = eng.prepare_serving_params(pq)
+    l_fp, _ = eng.jit_forward(quantized=False)(params, None, x)
+    l_s, _ = eng.jit_forward(quantized='serving_int8')(sp, None, x)
+    assert bool(jnp.isfinite(l_s).all())
+    rel = float(jnp.linalg.norm(l_s - l_fp) / jnp.linalg.norm(l_fp))
+    assert rel < 0.5, rel
+
+
 def test_s2d_stem_transform_exact():
     """The space-to-depth stem rewrite (engine.s2d_stem_kernel/_input) is an
     EXACT reformulation of the 7x7/2 pad-3 conv: same outputs in f32, so the
