@@ -147,6 +147,15 @@ def load_params(args, model, meta):
         jax.random.PRNGKey(args.seed or 0))
 
 
+def _s2d_stem_applied(params_s) -> bool:
+    """True if prepare_serving_params actually space-to-depth-transformed the
+    stem kernel (a [4,4,12,O] int8 leaf exists somewhere in the tree)."""
+    import jax
+    return any(
+        getattr(leaf, 'ndim', 0) == 4 and tuple(leaf.shape[:3]) == (4, 4, 12)
+        for leaf in jax.tree_util.tree_leaves(params_s))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.device == 'cpu':
@@ -284,6 +293,13 @@ def main(argv=None):
             params_s = engine.prepare_serving_params(
                 params_q,
                 s2d_stem=args.serving_s2d_stem and in_size % 2 == 0)
+            if args.serving_s2d_stem and not _s2d_stem_applied(params_s):
+                # opt-in silently falling back to the bf16 stem is confusing
+                # (ADVICE r3): say why the transform did not apply
+                why = ('odd input size' if in_size % 2 else
+                       'stem is not a BN-folded 7x7x3 conv')
+                print(f'=> note: --serving_s2d_stem requested but not '
+                      f'applied ({why}); stem runs in bf16')
             scales = engine.freeze_serving_scales(
                 params_s, loader, mode=args.serving_cal,
                 percentile=args.serving_percentile)

@@ -35,6 +35,21 @@ class QTensor(NamedTuple):
         return (self.codes.astype(jnp.float32) * self.scale).astype(dtype)
 
 
+class PackedQTensor(NamedTuple):
+    """Int4 codes packed two-per-byte (W4A4 packed serving): channel dim is
+    HALVED vs the float tensor.  Packing layout is the Pallas kernel's
+    group-local split-half convention (ops/kernels/int4_matmul.py) — only
+    Pallas GEMMs produce/consume these on the hot path; ``dequant`` exists
+    for boundary cases (tap inspection, final block feeding avgpool)."""
+    codes: Any   # int8 bytes, [..., C/2]
+    scale: Any   # f32 scalar
+
+    def dequant(self, dtype=jnp.float32):
+        from ..ops.kernels.int4_matmul import unpack_int4
+        return (unpack_int4(self.codes).astype(jnp.float32)
+                * self.scale).astype(dtype)
+
+
 class SiteNamer:
     """Construction-order id counters mirroring the reference's
     ``itertools.count`` class attributes, so site ids like ``conv12_activation``
@@ -136,9 +151,14 @@ class QConv(nn.Module):
             from ..ops.kernels.int_conv import int8_conv, prepare_int8_weights
             act_bits = getattr(ctx, 'act_bits', 8)
             w_bits = getattr(ctx, 'weight_bits', 8)
-            if stem_s2d:
-                act_bits = 8  # first layer is the 8-bit exception
-                # (reference i_q_m.py:336-338, 360-366)
+            if in_ch == 3 or stem_s2d:
+                # first layer (any in_ch==3 conv, s2d or direct int8 stem) is
+                # the 8-bit exception (reference i_q_m.py:336-338, 360-366);
+                # must match freeze_serving_scales' conv0 full-grid scale
+                # (engine.py freeze_serving_scales) or the frozen clip/127
+                # scale would be replayed with a +/-(2^(b-1)-1) clamp,
+                # covering only ~7/127 of the calibrated range at b=4
+                act_bits = 8
             if kernel.dtype == jnp.int8:
                 # offline-prepared tree (QuantEngine.prepare_serving_params):
                 # kernel holds the int8 codes, 'w_scale' their per-channel
@@ -167,6 +187,12 @@ class QConv(nn.Module):
                         if getattr(ctx, 'calibrate', False):
                             ctx.record_input_stats(self.site.id, xf32)
             if stem_s2d:
+                # the [4,4,12,O] kernel is the s2d rewrite of a 7x7 stride-2
+                # pad-3 stem ONLY — fail loudly on any other declared conv
+                # config instead of silently computing a wrong conv
+                assert _pair(self.strides) == (2, 2) and pad == (3, 3), (
+                    f's2d stem kernel requires the 7x7/2 pad-3 stem, got '
+                    f'strides={self.strides} padding={self.padding}')
                 # quantize the image at the frozen (or just-recorded) scale,
                 # THEN pad + space-to-depth in the int8 domain (zero padding
                 # is exact at zero-point 0), stride-1 equivalent conv

@@ -1,0 +1,264 @@
+"""Pallas TPU kernel: int4-PACKED GEMM for W4A4 serving blocks.
+
+VERDICT r3 task 1: the W8A8 serving path moves one byte per activation; at
+W4A4 the codes only need 4 bits, but XLA's conv path cannot consume packed
+nibbles (and this platform rejects s4 storage — measured round 4).  This
+kernel owns the packing end-to-end, so packed tensors only ever exist
+BETWEEN Pallas calls and no XLA-side pack/unpack fusion is needed:
+
+  * A (activations) may arrive packed two-codes-per-byte; the unpack is two
+    VPU shifts in VMEM (prologue), never an HBM round-trip.
+  * The residual identity arrives packed and is unpacked inside the
+    epilogue (dequant + add + ReLU + requant fused in VMEM).
+  * The output can be written packed (two codes per byte) — halving the
+    block-boundary HBM writes that dominate the serving roofline
+    (round-4 profiler trace: the three stage-1 expansion convs alone are
+    ~22% of device time, all bound on boundary-tensor traffic).
+
+Packing convention — "group-local split-half", chosen so neither producer
+nor consumer ever permutes lanes: channels are processed in groups of
+G=256; within group g, byte column ``g*128 + j`` holds code ``g*256 + j``
+in its low nibble and code ``g*256 + 128 + j`` in its high nibble.  A
+K-tile of 256 channels (= 128 bytes = exactly one group) unpacks into two
+CONTIGUOUS half-tiles, so the matmul is two MXU dots against adjacent
+128-row slabs of B — no interleave, no shuffle:
+
+    lo = (blk << 4) >> 4   # arithmetic shifts: low nibble, sign-extended
+    hi =  blk >> 4
+    acc += lo @ B[k : k+128] + hi @ B[k+128 : k+256]
+
+Epilogue (all in VMEM): out = acc * alpha[n] + beta[n]
+  (+ residual: out += unpack(res_packed) * res_scale)
+  (+ ReLU)    (+ requant: clip(round(out / out_scale)) -> int8 or packed)
+
+The reference only ever *simulates* 4-bit arithmetic in fp32 CUDA
+(pytorch_quantizer/.../int_quantizer.py:557-614); this is the deployment
+kernel that actually moves 4-bit data.  Numerics are exact vs an int32
+reference modulo f32 epilogue rounding (tests/test_int4_packed.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 256          # channels per packing group
+HALF = GROUP // 2    # bytes per group / half-tile width
+
+
+def pack_int4(codes):
+    """[..., C] int8 codes (int4 values) -> [..., C/2] packed bytes.
+
+    Group-local split-half layout (see module docstring).  XLA-side helper
+    for tests and for staging params; the hot path packs inside the kernel.
+    """
+    c = codes.shape[-1]
+    assert c % GROUP == 0, f'channels {c} not a multiple of {GROUP}'
+    g = codes.reshape(*codes.shape[:-1], c // GROUP, 2, HALF)
+    lo = g[..., 0, :].astype(jnp.int8)
+    hi = g[..., 1, :].astype(jnp.int8)
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF), jnp.left_shift(hi, 4))
+    return packed.reshape(*codes.shape[:-1], c // 2)
+
+
+def unpack_int4(packed):
+    """Inverse of :func:`pack_int4` (sign-extending)."""
+    c2 = packed.shape[-1]
+    g = packed.reshape(*packed.shape[:-1], c2 // HALF, HALF)
+    lo = jnp.right_shift(jnp.left_shift(g, 4), 4)
+    hi = jnp.right_shift(g, 4)
+    out = jnp.stack([lo, hi], axis=-2)  # [..., n_groups, 2, HALF]
+    return out.reshape(*packed.shape[:-1], c2 * 2)
+
+
+def _unpack_halves(blk):
+    """int8 byte block -> (low-nibble codes, high-nibble codes), both int8.
+
+    Mosaic has no int8 vector shifts (``arith.shli`` on i8 fails to
+    legalize — measured round 4), so sign-extend via int32 shifts on the
+    VPU and narrow back to int8 for the MXU dots.
+    """
+    b32 = blk.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(b32, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(b32, 4).astype(jnp.int8)
+    return lo, hi
+
+
+def _pack_bytes(cl, cr):
+    """Two int8 code tiles (int4 values) -> packed bytes, via int32 ops."""
+    l32 = jnp.bitwise_and(cl.astype(jnp.int32), 0xF)
+    r32 = jnp.left_shift(cr.astype(jnp.int32), 4)
+    return jnp.bitwise_or(l32, r32).astype(jnp.int8)
+
+
+def _kernel(a_ref, b_ref, alpha_ref, beta_ref, res_ref, scal_ref, o_ref,
+            acc_ref, *, a_packed: bool, has_res: bool, fuse_relu: bool,
+            out_mode: str):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if a_packed:
+        lo, hi = _unpack_halves(a_ref[:])
+        bb = b_ref[:]
+        half = bb.shape[0] // 2
+        acc_ref[:] += jax.lax.dot_general(
+            lo, bb[:half], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_ref[:] += jax.lax.dot_general(
+            hi, bb[half:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out = acc_ref[:].astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
+        tn = out.shape[1]
+        if has_res or out_mode == 'packed':
+            # operate on group half-tiles (TN == GROUP enforced by caller)
+            out_l, out_r = out[:, :HALF], out[:, HALF:]
+            if has_res:
+                r_lo, r_hi = _unpack_halves(res_ref[:])
+                rs = scal_ref[0, 0]
+                out_l = out_l + r_lo.astype(jnp.float32) * rs
+                out_r = out_r + r_hi.astype(jnp.float32) * rs
+            if fuse_relu:
+                out_l = jnp.maximum(out_l, 0.0)
+                out_r = jnp.maximum(out_r, 0.0)
+            if out_mode == 'packed':
+                os_ = scal_ref[0, 1]
+                cl = jnp.clip(jnp.round(out_l / os_), -7, 7).astype(jnp.int8)
+                cr = jnp.clip(jnp.round(out_r / os_), -7, 7).astype(jnp.int8)
+                o_ref[:] = _pack_bytes(cl, cr)
+                return
+            out = jnp.concatenate([out_l, out_r], axis=1)
+        elif fuse_relu:
+            out = jnp.maximum(out, 0.0)
+        if out_mode == 'int8':
+            os_ = scal_ref[0, 1]
+            o_ref[:] = jnp.clip(jnp.round(out / os_),
+                                -127, 127).astype(jnp.int8)
+        else:
+            o_ref[:] = out.astype(o_ref.dtype)
+        del tn
+
+
+def _pad_to(x, m, axis):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'a_packed', 'fuse_relu', 'out_mode', 'out_dtype', 'interpret'))
+def int4_matmul(a, b, alpha, beta, *, residual=None, res_scale=None,
+                out_scale=None, a_packed: bool = False,
+                fuse_relu: bool = False, out_mode: str = 'f32',
+                out_dtype=jnp.float32, interpret: bool | None = None):
+    """Packed-int4 GEMM with fused dequant / residual / requant epilogue.
+
+    a        [M, K/2] packed bytes if ``a_packed`` else [M, K] int8 codes.
+    b        [K, N] int8 codes (int4 values for W4).
+    alpha    [N] f32 — act_scale * per-channel weight scale.
+    beta     [N] f32 — bias (zeros if none).
+    residual [M, N/2] packed bytes (optional), added as
+             ``unpack(residual) * res_scale`` before ReLU.
+    out_mode 'f32'/'bf16' (float out), 'int8' (codes at ``out_scale``),
+             'packed' ([M, N/2] packed int4 codes at ``out_scale``).
+
+    K must be a multiple of 256 when ``a_packed``; N a multiple of 256 when
+    ``residual`` is given or ``out_mode='packed'`` (group alignment).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    has_res = residual is not None
+    K = b.shape[0]
+    N = b.shape[1]
+    M = a.shape[0]
+    if a_packed:
+        assert K % GROUP == 0 and a.shape[1] == K // 2
+    else:
+        assert a.shape[1] == K
+    if has_res or out_mode == 'packed':
+        assert N % GROUP == 0, f'N={N} needs group alignment'
+
+    # Tile sizes.  K is never padded beyond 128-alignment when unpacked —
+    # an XLA-level pad MATERIALIZES a full copy of A in HBM (measured 2-4x
+    # slowdown at the shallow stage-1 shapes).  Large TM amortizes
+    # per-program overhead on shallow-K tiles.
+    if a_packed:
+        TK = GROUP                       # one packing group per K step
+    else:
+        TK = K if K <= GROUP else GROUP  # shallow K: single unpadded step
+    TN = GROUP if (has_res or out_mode == 'packed' or N % GROUP == 0) \
+        else max(128, min(512, N))
+    TM = 1024 if TK <= 128 else 512
+    TKa = TK // 2 if a_packed else TK
+    a_p = _pad_to(_pad_to(a, TM, 0), TKa, 1)
+    b_p = _pad_to(_pad_to(b, TK, 0), TN, 1)
+    alpha_p = _pad_to(alpha.reshape(1, -1).astype(jnp.float32), TN, 1)
+    beta_p = _pad_to(beta.reshape(1, -1).astype(jnp.float32), TN, 1)
+    Mp = a_p.shape[0]
+    Kp = b_p.shape[0]
+    Np = b_p.shape[1]
+
+    if has_res:
+        res_p = _pad_to(residual, TM, 0)
+    else:  # dummy 1-tile operand so the kernel signature is static
+        res_p = jnp.zeros((TM, TN // 2), jnp.int8)
+    scal = jnp.array([[0.0 if res_scale is None else res_scale,
+                       1.0 if out_scale is None else out_scale]],
+                     jnp.float32)
+
+    out_packed = out_mode == 'packed'
+    TNo = TN // 2 if out_packed else TN
+    Npo = Np // 2 if out_packed else Np
+    odt = jnp.int8 if out_mode in ('int8', 'packed') else out_dtype
+
+    grid = (Mp // TM, Np // TN, Kp // TK)
+    out = pl.pallas_call(
+        functools.partial(_kernel, a_packed=a_packed, has_res=has_res,
+                          fuse_relu=fuse_relu, out_mode=out_mode),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TKa), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TN // 2),
+                         (lambda i, j, k: (i, j)) if has_res
+                         else (lambda i, j, k: (0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TNo), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Npo), odt),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=int(Mp * Kp * (0.5 if a_packed else 1)
+                               + Kp * Np + Mp * Npo
+                               + (Mp * Np // 2 if has_res else 0)),
+            transcendentals=0),
+        interpret=interpret,
+    )(a_p, b_p, alpha_p, beta_p, res_p, scal)
+    return out[:M, :N // 2 if out_packed else N]
