@@ -62,6 +62,12 @@ def build_parser():
     p.add_argument('--serving_s2d_stem', action='store_true',
                    help='space-to-depth int8 stem rewrite (opt-in; measured '
                         '~parity with the default bf16 stem on v5e/XLA)')
+    p.add_argument('--serving_packed', action='store_true',
+                   help='int4-PACKED serving (W4A4, Bottleneck trunks): '
+                        '1x1 convs run as Pallas int4 GEMMs and block '
+                        'boundaries cross HBM two-codes-per-byte; falls '
+                        'back to the plain serving path where not '
+                        'applicable')
     p.add_argument('--shuffle', '-sh', action='store_true')
     p.add_argument('--stochastic', '-s', action='store_true', default=False,
                    help='stochastic rounding (Pallas PRNG path)')
@@ -302,9 +308,11 @@ def main(argv=None):
                       f'applied ({why}); stem runs in bf16')
             scales = engine.freeze_serving_scales(
                 params_s, loader, mode=args.serving_cal,
-                percentile=args.serving_percentile)
+                percentile=args.serving_percentile,
+                packed=args.serving_packed)
             res = evaluate(engine, params_s, loader, stats=stats,
                            quantized='serving_int8', act_scales=scales,
+                           packed=args.serving_packed,
                            subset=args.subset, print_freq=args.print_freq,
                            verbose=True)
         else:

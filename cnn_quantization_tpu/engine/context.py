@@ -74,7 +74,8 @@ class ServingInt8Context(TapContext):
 
     def __init__(self, act_scales: Mapping[str, Any] | None = None,
                  act_bits: int = 8, weight_bits: int = 8,
-                 calibrate: bool = False, percentile: float = 99.99):
+                 calibrate: bool = False, percentile: float = 99.99,
+                 packed: bool = False):
         # optional frozen per-conv input scales (site_id -> scalar f32) from
         # calibration; absent entries fall back to dynamic abs-max quant,
         # whose scale is recorded (aux output) so a calibration run can
@@ -87,11 +88,17 @@ class ServingInt8Context(TapContext):
         # (abs-max, the requested |x| percentile, Laplace b = E|x|) so the
         # frozen scales can be clipped (percentile / ACIQ-laplace) instead of
         # stretched by outliers — calibration-only, never on the hot path.
+        # ``packed``: W4A4 packed-serving — Bottleneck trunks route their
+        # 1x1 convs through the Pallas int4-packed GEMM and block
+        # boundaries cross HBM as 4-bit packed codes (models/resnet.py;
+        # requires frozen scales for every trunk site, falls back to the
+        # plain int8-resident path otherwise).
         self.act_scales = dict(act_scales or {})
         self.act_bits = act_bits
         self.weight_bits = weight_bits
         self.calibrate = calibrate
         self.percentile = percentile
+        self.packed = packed
         self.recorded: dict[str, Any] = {}
 
     def record_scale(self, site_id: str, scale):

@@ -117,7 +117,7 @@ class QuantEngine:
     # Step functions
     # ------------------------------------------------------------------
     def make_forward(self, quantized: bool = True, qparams=None,
-                     act_scales=None) -> Callable:
+                     act_scales=None, packed: bool = False) -> Callable:
         """Returns f(params, stats, x) -> (logits, aux).  ``stats`` is the
         calibration pytree (may be None); passed as an argument so new stats
         do not retrigger compilation.  ``qparams`` (from ``freeze_qparams``)
@@ -135,7 +135,8 @@ class QuantEngine:
                                if self.policy.qweight not in (None, 'f32') else 8)
                 ctx = ServingInt8Context(act_scales=act_scales,
                                          act_bits=min(act_bits, 8),
-                                         weight_bits=min(weight_bits, 8))
+                                         weight_bits=min(weight_bits, 8),
+                                         packed=packed)
             elif quantized and self.policy.qtype is not None:
                 ctx = QuantizeContext(self.policy, stats=stats,
                                       ignore_ids=self.ignore_ids,
@@ -204,7 +205,8 @@ class QuantEngine:
 
     def freeze_serving_scales(self, params_q, batches, *,
                               max_batches: int = 4, mode: str = 'max',
-                              percentile: float = 99.99) -> dict:
+                              percentile: float = 99.99,
+                              packed: bool = False) -> dict:
         """Calibrate frozen serving-int8 activation scales over a few
         batches.  ``mode`` selects how the per-site scale is set from the
         recorded input statistics:
@@ -263,9 +265,14 @@ class QuantEngine:
             # conv0 (the stem / in_ch==3 conv) is the reference's automatic
             # 8-bit exception for int4 runs (i_q_m.py:336-338) — the s2d stem
             # quantizes its input on the full int8 grid accordingly
+            # packed serving stores ':out' (downsample identity) codes on
+            # the int4 grid inside the Pallas epilogue, so the frozen scale
+            # must use the act-bit qmax there; the plain serving path keeps
+            # them full-int8 (the codes are only dequantized for the add)
             bits = (8 if site_id.startswith('linear')
                     or site_id.startswith('conv0_')
-                    or site_id.endswith(':out') else act_bits)
+                    or (site_id.endswith(':out') and not packed)
+                    else act_bits)
             qmax = 2.0 ** (bits - 1) - 1.0
             absmax = max(stats['absmax'])
             if mode == 'max':

@@ -20,9 +20,9 @@ from .engine import QuantEngine
 
 
 def make_eval_step(engine: QuantEngine, quantized: bool = True, qparams=None,
-                   act_scales=None):
+                   act_scales=None, packed: bool = False):
     fwd = engine.make_forward(quantized, qparams=qparams,
-                              act_scales=act_scales)
+                              act_scales=act_scales, packed=packed)
 
     @jax.jit
     def step(params, stats, images, labels):
@@ -38,7 +38,8 @@ def evaluate(engine: QuantEngine, params, batches: Iterable, *,
              stats: Mapping[str, Any] | None = None, quantized: bool = True,
              subset: int | None = None, print_freq: int = 10,
              verbose: bool = False, qparams=None,
-             act_scales=None, resume_path: str | None = None,
+             act_scales=None, packed: bool = False,
+             resume_path: str | None = None,
              checkpoint_every: int = 50) -> dict[str, float]:
     """Run the eval loop; returns {'top1', 'top5', 'loss', 'images_per_sec',
     'avg_entropy'(opt)}.  ``subset`` stops after N images
@@ -51,7 +52,7 @@ def evaluate(engine: QuantEngine, params, batches: Iterable, *,
     already-counted batches and continues the meters — eval-loop resume the
     reference lacks (SURVEY.md §5, restart-from-scratch)."""
     step = make_eval_step(engine, quantized, qparams=qparams,
-                          act_scales=act_scales)
+                          act_scales=act_scales, packed=packed)
     top1 = AverageMeter()
     top5 = AverageMeter()
     losses = AverageMeter()

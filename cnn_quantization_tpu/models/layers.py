@@ -117,12 +117,20 @@ class QConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, ctx: TapContext):
+    def __call__(self, x, ctx: TapContext, residual=None, out_spec=None,
+                 fuse_relu: bool = False):
+        """``residual``/``out_spec``/``fuse_relu`` are packed-serving-only
+        block-orchestration inputs (models/resnet.py Bottleneck):
+        residual = PackedQTensor added (dequantized) before the fused ReLU
+        inside the Pallas epilogue; out_spec = ('int8'|'packed', scale)
+        requantizes the output to codes at the NEXT consumer's frozen
+        scale; ignored on every other path."""
         kh, kw = _pair(self.kernel_size)
+        packed_in = isinstance(x, PackedQTensor)
         prequant = isinstance(x, QTensor)
         if prequant:
             x, pre_scale = x.codes, x.scale
-        in_ch = x.shape[-1]
+        in_ch = x.codes.shape[-1] * 2 if packed_in else x.shape[-1]
         if (getattr(ctx, 'int8_serving', False)
                 and self.scope.has_variable('params', 'kernel')):
             # serving apply: read the prepared kernel without flax's shape
@@ -171,6 +179,73 @@ class QConv(nn.Module):
             bias = (self.param('bias', nn.initializers.zeros,
                                (self.features,), jnp.float32)
                     if self.use_bias else None)
+            if (getattr(ctx, 'packed', False) and (kh, kw) == (1, 1)
+                    and in_ch != 3 and kernel.dtype == jnp.int8
+                    and (out_spec is not None or residual is not None)):
+                # only when the block orchestrator drives this conv
+                # (resnet.py Bottleneck passes out_spec/residual); a stray
+                # 1x1 conv in packed mode (e.g. a BasicBlock downsample)
+                # stays on the XLA path unchanged
+                # packed-serving 1x1 conv == Pallas int4 GEMM: packed (or
+                # plain int8) codes in, fused dequant/residual/ReLU/requant
+                # epilogue, codes out — block boundaries cross HBM at 4
+                # bits (ops/kernels/int4_matmul.py); orchestrated by
+                # models/resnet.py Bottleneck
+                from ..ops.kernels.int4_matmul import int4_matmul
+                if packed_in:
+                    a, a_scale, a_packed = x.codes, x.scale, True
+                elif prequant:
+                    a, a_scale, a_packed = x, pre_scale, False
+                else:
+                    a_scale = None
+                    if self.site is not None:
+                        a_scale = getattr(ctx, 'act_scales', {}).get(
+                            self.site.id)
+                    assert a_scale is not None, \
+                        'packed serving requires frozen activation scales'
+                    qm = 2.0 ** (act_bits - 1) - 1.0
+                    a = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                                 -qm, qm).astype(jnp.int8)
+                    a_packed = False
+                s = _pair(self.strides)
+                if s != (1, 1):
+                    a = a[:, ::s[0], ::s[1], :]
+                n, h, w, cc = a.shape
+                alpha = (jnp.asarray(a_scale, jnp.float32)
+                         * w_scale).astype(jnp.float32)
+                beta = (jnp.zeros((self.features,), jnp.float32)
+                        if bias is None else bias.astype(jnp.float32))
+                res2 = res_scale = None
+                if residual is not None:
+                    res2 = residual.codes.reshape(
+                        -1, residual.codes.shape[-1])
+                    res_scale = residual.scale
+                mode = 'f32' if out_spec is None else out_spec[0]
+                out_scale = None if out_spec is None else out_spec[1]
+                y2 = int4_matmul(
+                    a.reshape(n * h * w, cc),
+                    kernel.reshape(in_ch, self.features), alpha, beta,
+                    residual=res2, res_scale=res_scale, out_scale=out_scale,
+                    a_packed=a_packed, fuse_relu=fuse_relu, out_mode=mode,
+                    out_qmax=2.0 ** (act_bits - 1) - 1.0,
+                    out_dtype=self.dtype)
+                if mode == 'packed':
+                    y = PackedQTensor(y2.reshape(n, h, w, self.features // 2),
+                                      jnp.asarray(out_scale, jnp.float32))
+                elif mode == 'int8':
+                    y = QTensor(y2.reshape(n, h, w, self.features),
+                                jnp.asarray(out_scale, jnp.float32))
+                else:
+                    y = y2.reshape(n, h, w, self.features)
+                if self.site is not None:
+                    y = ctx.tap(y, self.site)
+                return y
+            # past the Pallas branch: fail loudly rather than silently
+            # dropping a residual the packed orchestration handed us
+            # (e.g. packed mode on un-prepared float params)
+            assert residual is None, (
+                'residual fusion requires the packed 1x1 Pallas path '
+                '(prepare_serving_params + frozen scales)')
             if prequant:
                 act_scale = pre_scale
             else:
@@ -208,6 +283,26 @@ class QConv(nn.Module):
                               strides=_pair(self.strides), padding=pad,
                               groups=self.groups, act_bits=act_bits,
                               act_scale=act_scale, out_dtype=self.dtype)
+            if out_spec is not None:
+                # packed-serving orchestration (Bottleneck conv2): requant
+                # the XLA conv's output to codes at the NEXT consumer's
+                # frozen scale — pure elementwise, fuses into the conv's
+                # epilogue so only 1-byte codes cross HBM
+                yq = y.astype(jnp.float32)
+                if fuse_relu:
+                    yq = jnp.maximum(yq, 0.0)
+                oscale = jnp.asarray(out_spec[1], jnp.float32)
+                qmb = 2.0 ** (act_bits - 1) - 1.0
+                codes = jnp.clip(jnp.round(yq / oscale),
+                                 -qmb, qmb).astype(jnp.int8)
+                if out_spec[0] == 'packed':
+                    from ..ops.kernels.int4_matmul import pack_int4
+                    y = PackedQTensor(pack_int4(codes), oscale)
+                else:
+                    y = QTensor(codes, oscale)
+                if self.site is not None:
+                    y = ctx.tap(y, self.site)
+                return y
             if self.out_codes and self.site is not None:
                 out_scale = getattr(ctx, 'act_scales', {}).get(
                     self.site.id + ':out')

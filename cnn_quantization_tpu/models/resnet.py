@@ -113,12 +113,41 @@ class Bottleneck(nn.Module):
     spec: BlockSpec
 
     @nn.compact
-    def __call__(self, x, ctx: TapContext):
+    def __call__(self, x, ctx: TapContext, out_spec=False):
+        # out_spec: False = plain path; in packed serving, ResNet passes
+        # ('packed', next_block_scale) or None (last block -> float out)
         s = self.spec
         fold = s.fold_bn
         dt = jnp.dtype(s.dtype)
         width = int(s.planes * (s.base_width / 64.0)) * s.groups
         (c1, b1), (c2, b2), (c3, b3) = s.conv_sites
+        if out_spec is not False and getattr(ctx, 'packed', False):
+            # W4A4 packed serving (orchestrated by ResNet.__call__, which
+            # passes out_spec= the NEXT block's frozen input spec, or None
+            # for the last block): conv1/conv3/downsample run as Pallas
+            # int4 GEMMs, conv2 stays an XLA int8 conv emitting codes at
+            # conv3's frozen scale; the residual identity is added packed
+            # inside conv3's epilogue.  Every inter-conv tensor is int8
+            # codes and every block boundary is 4-bit packed.
+            scales = getattr(ctx, 'act_scales', {})
+            out = QConv(width, 1, 1, 0, use_bias=fold, site=c1, dtype=dt,
+                        name='conv1')(x, ctx, fuse_relu=True,
+                                      out_spec=('int8', scales[c2.id]))
+            out = QConv(width, 3, s.stride, 1, groups=s.groups,
+                        use_bias=fold, site=c2, dtype=dt, name='conv2')(
+                out, ctx, fuse_relu=True, out_spec=('int8', scales[c3.id]))
+            if s.has_downsample:
+                dc, _db = s.ds_sites
+                identity = QConv(
+                    s.out_planes, 1, s.stride, 0, use_bias=fold, site=dc,
+                    out_codes=fold, dtype=dt, name='downsample_0')(
+                    x, ctx, out_spec=('packed', scales[dc.id + ':out']))
+            else:
+                identity = x  # packed codes from the previous block
+            return QConv(s.out_planes, 1, 1, 0, use_bias=fold, site=c3,
+                         dtype=dt, name='conv3')(
+                out, ctx, residual=identity, fuse_relu=True,
+                out_spec=out_spec)
         x, identity = _serving_block_input(x, ctx, c1)
         out = QConv(width, 1, 1, 0, use_bias=fold, site=c1, dtype=dt, name='conv1')(x, ctx)
         if not fold:
@@ -174,10 +203,38 @@ class ResNet(nn.Module):
                                  -qmax, qmax).astype(jnp.int8)
                 x = QTensor(codes, s)
         x = QMaxPool(3, 2, 1, site=mp_site, name='maxpool')(x, ctx)
+        blocks = [spec for stage in self.stage_specs for spec in stage]
+        # W4A4 packed serving is all-or-nothing across the trunk: every
+        # block must be a Bottleneck with group-alignable output channels
+        # and every needed frozen scale present (block input scales, conv2/
+        # conv3 input scales, downsample ':out' scales) — else the model
+        # falls back to the plain int8-resident serving path everywhere.
+        packed_ok = (getattr(ctx, 'packed', False) and self.fold_bn
+                     and all(sp.bottleneck and sp.out_planes % 256 == 0
+                             for sp in blocks))
+        if packed_ok:
+            scales = getattr(ctx, 'act_scales', {})
+            need = []
+            for sp in blocks:
+                need += [sp.conv_sites[0][0].id, sp.conv_sites[1][0].id,
+                         sp.conv_sites[2][0].id]
+                if sp.has_downsample:
+                    need.append(sp.ds_sites[0].id + ':out')
+            packed_ok = all(n in scales for n in need)
+        idx = 0
         for li, stage in enumerate(self.stage_specs):
             for bi, spec in enumerate(stage):
                 block = Bottleneck if spec.bottleneck else BasicBlock
-                x = block(spec, name=f'layer{li + 1}_{bi}')(x, ctx)
+                if packed_ok:
+                    nxt = blocks[idx + 1] if idx + 1 < len(blocks) else None
+                    out_spec = (('packed',
+                                 scales[nxt.conv_sites[0][0].id])
+                                if nxt is not None else None)
+                    x = block(spec, name=f'layer{li + 1}_{bi}')(
+                        x, ctx, out_spec=out_spec)
+                else:
+                    x = block(spec, name=f'layer{li + 1}_{bi}')(x, ctx)
+                idx += 1
         x = QAvgPool(x.shape[1], 1, site=self.avgpool_site, name='avgpool')(x, ctx)
         x = x.reshape(x.shape[0], -1)
         x = QLinear(self.num_classes, site=self.fc_site, dtype=dt, name='fc')(x, ctx)

@@ -89,7 +89,8 @@ def _unpack_halves(blk):
 
 
 def _pack_bytes(cl, cr):
-    """Two int8 code tiles (int4 values) -> packed bytes, via int32 ops."""
+    """Two int8 code tiles (int4 values) -> packed bytes, via int32 ops
+    (Mosaic legalizes neither shifts nor multiplies on i8 vectors)."""
     l32 = jnp.bitwise_and(cl.astype(jnp.int32), 0xF)
     r32 = jnp.left_shift(cr.astype(jnp.int32), 4)
     return jnp.bitwise_or(l32, r32).astype(jnp.int8)
@@ -97,7 +98,7 @@ def _pack_bytes(cl, cr):
 
 def _kernel(a_ref, b_ref, alpha_ref, beta_ref, res_ref, scal_ref, o_ref,
             acc_ref, *, a_packed: bool, has_res: bool, fuse_relu: bool,
-            out_mode: str):
+            out_mode: str, out_qmax: float):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -121,8 +122,12 @@ def _kernel(a_ref, b_ref, alpha_ref, beta_ref, res_ref, scal_ref, o_ref,
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
+        # NB: requant uses true division by the scale — bit-identical to
+        # the plain serving path's jnp.round(x / scale), keeping the two
+        # paths exactly equal eagerly (tests/test_packed_serving.py);
+        # multiply-by-reciprocal flips round() boundary codes
+        os_ = scal_ref[0, 1]
         out = acc_ref[:].astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
-        tn = out.shape[1]
         if has_res or out_mode == 'packed':
             # operate on group half-tiles (TN == GROUP enforced by caller)
             out_l, out_r = out[:, :HALF], out[:, HALF:]
@@ -135,21 +140,26 @@ def _kernel(a_ref, b_ref, alpha_ref, beta_ref, res_ref, scal_ref, o_ref,
                 out_l = jnp.maximum(out_l, 0.0)
                 out_r = jnp.maximum(out_r, 0.0)
             if out_mode == 'packed':
-                os_ = scal_ref[0, 1]
                 cl = jnp.clip(jnp.round(out_l / os_), -7, 7).astype(jnp.int8)
                 cr = jnp.clip(jnp.round(out_r / os_), -7, 7).astype(jnp.int8)
                 o_ref[:] = _pack_bytes(cl, cr)
                 return
-            out = jnp.concatenate([out_l, out_r], axis=1)
-        elif fuse_relu:
+            if out_mode == 'int8':
+                o_ref[:, :HALF] = jnp.clip(jnp.round(out_l / os_),
+                                           -out_qmax, out_qmax).astype(jnp.int8)
+                o_ref[:, HALF:] = jnp.clip(jnp.round(out_r / os_),
+                                           -out_qmax, out_qmax).astype(jnp.int8)
+            else:
+                o_ref[:, :HALF] = out_l.astype(o_ref.dtype)
+                o_ref[:, HALF:] = out_r.astype(o_ref.dtype)
+            return
+        if fuse_relu:
             out = jnp.maximum(out, 0.0)
         if out_mode == 'int8':
-            os_ = scal_ref[0, 1]
             o_ref[:] = jnp.clip(jnp.round(out / os_),
-                                -127, 127).astype(jnp.int8)
+                                -out_qmax, out_qmax).astype(jnp.int8)
         else:
             o_ref[:] = out.astype(o_ref.dtype)
-        del tn
 
 
 def _pad_to(x, m, axis):
@@ -162,11 +172,13 @@ def _pad_to(x, m, axis):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'a_packed', 'fuse_relu', 'out_mode', 'out_dtype', 'interpret'))
+    'a_packed', 'fuse_relu', 'out_mode', 'out_qmax', 'out_dtype',
+    'interpret', 'tm'))
 def int4_matmul(a, b, alpha, beta, *, residual=None, res_scale=None,
                 out_scale=None, a_packed: bool = False,
                 fuse_relu: bool = False, out_mode: str = 'f32',
-                out_dtype=jnp.float32, interpret: bool | None = None):
+                out_qmax: float = 127.0, out_dtype=jnp.float32,
+                interpret: bool | None = None, tm: int | None = None):
     """Packed-int4 GEMM with fused dequant / residual / requant epilogue.
 
     a        [M, K/2] packed bytes if ``a_packed`` else [M, K] int8 codes.
@@ -204,7 +216,11 @@ def int4_matmul(a, b, alpha, beta, *, residual=None, res_scale=None,
         TK = K if K <= GROUP else GROUP  # shallow K: single unpadded step
     TN = GROUP if (has_res or out_mode == 'packed' or N % GROUP == 0) \
         else max(128, min(512, N))
-    TM = 1024 if TK <= 128 else 512
+    # TM=512 measured best across the ResNet-50 serving shapes (round-4
+    # on-device sweep: conv3-s1 379us@512 vs 476@1024, conv1-s1 252@512 vs
+    # 436@1024 — smaller tiles pipeline DMA better than they cost in
+    # per-program overhead)
+    TM = tm if tm is not None else 512
     TKa = TK // 2 if a_packed else TK
     a_p = _pad_to(_pad_to(a, TM, 0), TKa, 1)
     b_p = _pad_to(_pad_to(b, TK, 0), TN, 1)
@@ -230,7 +246,8 @@ def int4_matmul(a, b, alpha, beta, *, residual=None, res_scale=None,
     grid = (Mp // TM, Np // TN, Kp // TK)
     out = pl.pallas_call(
         functools.partial(_kernel, a_packed=a_packed, has_res=has_res,
-                          fuse_relu=fuse_relu, out_mode=out_mode),
+                          fuse_relu=fuse_relu, out_mode=out_mode,
+                          out_qmax=float(out_qmax)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, TKa), lambda i, j, k: (i, k),

@@ -212,7 +212,10 @@ def check_int8_residency(hlo_text: str, *, min_elems: int = 1 << 20,
     for ins in parse_entry(hlo_text):
         if ins.op in _FREE_OPS or ins.name.startswith(tuple(allow_prefixes)):
             continue
-        for dtype, dims in ins.shapes:
+        spaces = ins.spaces or [0] * len(ins.shapes)
+        for (dtype, dims), sp in zip(ins.shapes, spaces):
+            if sp != 0:
+                continue  # VMEM/SMEM-resident: crosses no HBM boundary
             if (_nelem(dims) > min_elems
                     and _DTYPE_BYTES.get(dtype, 4) > 1):
                 offenders.append(ins.raw)

@@ -1,0 +1,102 @@
+"""W4A4 packed serving: end-to-end equivalence vs the plain serving path.
+
+The packed path (models/resnet.py Bottleneck + ops/kernels/int4_matmul.py)
+computes the SAME math as the plain int8-resident W4A4 serving forward when
+both use scales frozen with ``packed=True``: conv inputs quantize at the
+same frozen scales with the same +/-7 grid, the residual is dequantized and
+added in f32 before the ReLU either way, and block boundaries carry codes
+at the next block's input scale.  Differences are f32 summation-order
+rounding at requant boundaries (code flips), so logits agree to a few
+percent and intermediate code tensors almost everywhere.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_quantization_tpu.models import build_model
+from cnn_quantization_tpu.engine import QuantEngine, QuantPolicy, TapContext
+
+
+@pytest.fixture(scope='module')
+def served():
+    model, meta = build_model('resnet50')
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, x0, TapContext())['params'])(
+        jax.random.PRNGKey(0))
+    policy = QuantPolicy(qtype='int4', qweight='int4', arch='resnet50')
+    eng = QuantEngine(model, policy, meta)
+    pq = eng.quantize_params(params)
+    sp = eng.prepare_serving_params(pq)
+    rng = np.random.RandomState(0)
+    cal = [(rng.rand(2, 64, 64, 3).astype(np.float32), np.zeros(2, np.int32))]
+    scales = eng.freeze_serving_scales(sp, cal, packed=True)
+    return eng, sp, scales, rng.rand(2, 64, 64, 3).astype(np.float32)
+
+
+def test_packed_scales_cover_trunk(served):
+    eng, sp, scales, x = served
+    # every trunk site the packed path needs must have been frozen
+    conv_sites = [k for k in scales if k.startswith('conv')]
+    assert len(conv_sites) >= 53
+    assert any(k.endswith(':out') for k in scales)
+
+
+def test_packed_forward_matches_plain(served):
+    """Eager-vs-eager the two paths are BIT-EXACT (measured rel 0.0): the
+    packed path's quantize/dequant/residual math is the plain path's,
+    rearranged into Pallas epilogues.  (Under jit the comparison is
+    meaningless: XLA fusion changes f32 rounding, and with +/-7 grids over
+    53 sites on random weights even plain-jit vs plain-eager diverges ~25%
+    — pure code-flip chaos, measured round 4.)"""
+    eng, sp, scales, x = served
+    fwd_plain = eng.make_forward(quantized='serving_int8',
+                                 act_scales=scales)
+    fwd_packed = eng.make_forward(quantized='serving_int8',
+                                  act_scales=scales, packed=True)
+    lp, _ = fwd_plain(sp, None, jnp.asarray(x))
+    lk, _ = fwd_packed(sp, None, jnp.asarray(x))
+    lp, lk = np.asarray(lp), np.asarray(lk)
+    assert np.isfinite(lk).all()
+    np.testing.assert_allclose(lk, lp, rtol=1e-5, atol=1e-5)
+
+    # and the jitted packed forward must at least run and stay finite
+    fj = jax.jit(eng.make_forward(quantized='serving_int8',
+                                  act_scales=scales, packed=True))
+    lj, _ = fj(sp, None, jnp.asarray(x))
+    assert np.isfinite(np.asarray(lj)).all()
+
+
+def test_packed_falls_back_without_scales(served):
+    """Missing trunk scales -> the model must silently use the plain path
+    (all-or-nothing guard in ResNet.__call__), not crash."""
+    eng, sp, scales, x = served
+    partial = {k: v for k, v in scales.items() if not k.endswith(':out')}
+    fwd = jax.jit(eng.make_forward(quantized='serving_int8',
+                                   act_scales=partial, packed=True))
+    logits, _ = fwd(sp, None, jnp.asarray(x))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_basicblock_arch_ignores_packed():
+    """BasicBlock trunks (3x3 convs) cannot pack; packed=True must be a
+    no-op for resnet18."""
+    model, meta = build_model('resnet18')
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, x0, TapContext())['params'])(
+        jax.random.PRNGKey(1))
+    policy = QuantPolicy(qtype='int4', qweight='int4', arch='resnet18')
+    eng = QuantEngine(model, policy, meta)
+    sp = eng.prepare_serving_params(eng.quantize_params(params))
+    rng = np.random.RandomState(1)
+    cal = [(rng.rand(2, 64, 64, 3).astype(np.float32), np.zeros(2, np.int32))]
+    scales = eng.freeze_serving_scales(sp, cal, packed=True)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    la, _ = jax.jit(eng.make_forward(quantized='serving_int8',
+                                     act_scales=scales))(sp, None, x)
+    lb, _ = jax.jit(eng.make_forward(quantized='serving_int8',
+                                     act_scales=scales, packed=True))(
+        sp, None, x)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -191,3 +191,49 @@ def test_sharded_serving_int8_eval():
     labels = jnp.asarray(np.zeros(4, np.int32))
     out = jax.device_get(step(ps, None, images, labels))
     assert np.isfinite(out['loss'])
+
+
+def test_sharded_prepared_serving_exactness():
+    """Deployment configuration under TP (VERDICT r3 task 5): offline-
+    prepared int8 codes + per-channel ``w_scale`` leaves sharded over the
+    ``model`` axis with FROZEN activation scales must produce EXACTLY the
+    single-device logits — frozen scales make the quantization decisions
+    x-independent, so GSPMD sharding is an execution detail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import QuantPolicy, QuantEngine, TapContext
+    from cnn_quantization_tpu.parallel import make_mesh, shard_params
+    from cnn_quantization_tpu.parallel.eval_parallel import make_sharded_eval_step
+    from cnn_quantization_tpu.parallel.mesh import batch_sharding, param_sharding, replicated
+
+    model, meta = build_model('resnet18')
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, TapContext())['params']
+    policy = QuantPolicy(arch='resnet18', qtype='int8', qweight='int8')
+    eng = QuantEngine(model, policy, meta)
+    sp = eng.prepare_serving_params(eng.quantize_params(params))
+    rng = np.random.RandomState(5)
+    cal = [(rng.rand(4, 64, 64, 3).astype(np.float32), np.zeros(4, np.int32))]
+    scales = eng.freeze_serving_scales(sp, cal)
+
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    fwd = eng.make_forward(quantized='serving_int8', act_scales=scales)
+    single_logits, _ = jax.jit(fwd)(sp, None, images)
+
+    mesh = make_mesh(jax.devices()[:8], data=2, model=4)
+    sps = shard_params(sp, mesh)
+    # int8 code kernels and their w_scale leaves must actually shard
+    k = sps['layer1_0']['conv1']['kernel']
+    assert k.dtype == jnp.int8 and k.sharding.spec[-1] == 'model'
+    ws = sps['layer1_0']['conv1']['w_scale']
+    assert ws.sharding.spec[-1] == 'model'
+
+    sharded = jax.jit(
+        lambda p, im: fwd(p, None, im)[0],
+        in_shardings=(param_sharding(mesh, sp), batch_sharding(mesh, 4)),
+        out_shardings=replicated(mesh))
+    sharded_logits = jax.device_get(sharded(sps, images))
+    np.testing.assert_array_equal(np.asarray(single_logits),
+                                  np.asarray(sharded_logits))
