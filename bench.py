@@ -204,8 +204,11 @@ def _stochastic_smoke():
     step = delta / qmax
     bias = float(np.mean(a - np.asarray(x)))
     se = step / np.sqrt(12.0 * n)
-    ok = (abs(bias) < 6 * se) and (a != b).mean() > 0.3 \
-        and (a != det).mean() > 0.3
+    # theory for uniform x with U[-0.5,0.5) noise: P(noisy != det) = 1/4,
+    # P(two independent noisy roundings differ) = 1/3 — measured on-chip
+    # 0.2494 / 0.3330 (round 4)
+    ok = (abs(bias) < 6 * se) and 0.25 < (a != b).mean() < 0.42 \
+        and 0.17 < (a != det).mean() < 0.33
     return {'pallas_stochastic_ok': bool(ok),
             'stochastic_mean_bias': round(bias, 7),
             'stochastic_bias_tol_6se': round(6 * se, 7)}
