@@ -54,6 +54,17 @@ def test_cli_serving_int8(cli_env, capsys):
     assert res['loss'] > 0
 
 
+def test_cli_serving_packed_flag(cli_env, capsys):
+    """--serving_packed plumbs through freeze_serving_scales(packed=True)
+    and evaluate(packed=True); on a BasicBlock arch it falls back to the
+    plain path and must behave identically to --serving_int8 alone."""
+    assert main(BASE + ['--qtype', 'int4', '-qw', 'int4', '--serving_int8',
+                        '--serving_packed']) == 0
+    out = capsys.readouterr().out
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res['loss'] > 0
+
+
 def test_cli_eval_precision_sweep(cli_env, capsys):
     assert main(BASE + ['--qtype', 'int8', '-qw', 'int8', '-ep',
                         '--subset', '4']) == 0

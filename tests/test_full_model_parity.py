@@ -689,3 +689,153 @@ def test_site_tag_tables(images, tmp_path, arch):
     sites = discover_sites(model, (1, 64, 64, 3))
     got = {s.id: (s.tag, bool(s.half_range), s.kind) for s, _shape in sites}
     assert got == expected
+
+
+def test_inception_site_tag_table(tmp_path):
+    """Inception-v3 construction-order site numbering vs the reference —
+    in particular the aux-tower id consumption (VERDICT r3 missing #2):
+    torchvision builds AuxLogits (conv0/conv1/fc) between Mixed_6e and
+    Mixed_7a, so the aux classifier takes ``linear0`` and the final fc is
+    ``linear1_activation`` — the id the reference's own sweep lists use
+    (inference_sim.py:125).  Only construction matters for ids (the
+    reference's ``*WithId`` counters run at __init__), so the twin needs
+    no forward pass; pooling is functional in Inception3 so there are NO
+    pool sites."""
+    import torch.nn as nn
+    from cnn_quantization_tpu.engine.qparams import discover_sites
+
+    ns = load_reference_manager()
+    ns.reset(stats_base_dir=tmp_path)
+    args = make_ref_args(arch='inception_v3', qtype='int4', qweight='int4')
+    qm = ns.iqm.QuantizationManagerInference(args, make_ref_qparams(args))
+    qm.__enter__()
+    try:
+        # torchvision-faithful Inception3.__init__ construction order
+        # (2019-era torchvision; forward omitted — ids are assigned at
+        # construction)
+        class BasicConv2d(nn.Module):
+            def __init__(self, i, o, **kw):
+                super().__init__()
+                self.conv = nn.Conv2d(i, o, bias=False, **kw)
+                self.bn = nn.BatchNorm2d(o, eps=0.001)
+
+        class InceptionA(nn.Module):
+            def __init__(self, i, pool_features):
+                super().__init__()
+                self.branch1x1 = BasicConv2d(i, 64, kernel_size=1)
+                self.branch5x5_1 = BasicConv2d(i, 48, kernel_size=1)
+                self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+                self.branch3x3dbl_1 = BasicConv2d(i, 64, kernel_size=1)
+                self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+                self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+                self.branch_pool = BasicConv2d(i, pool_features, kernel_size=1)
+
+        class InceptionB(nn.Module):
+            def __init__(self, i):
+                super().__init__()
+                self.branch3x3 = BasicConv2d(i, 384, kernel_size=3, stride=2)
+                self.branch3x3dbl_1 = BasicConv2d(i, 64, kernel_size=1)
+                self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+                self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+        class InceptionC(nn.Module):
+            def __init__(self, i, c7):
+                super().__init__()
+                self.branch1x1 = BasicConv2d(i, 192, kernel_size=1)
+                self.branch7x7_1 = BasicConv2d(i, c7, kernel_size=1)
+                self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+                self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+                self.branch7x7dbl_1 = BasicConv2d(i, c7, kernel_size=1)
+                self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+                self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+                self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+                self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+                self.branch_pool = BasicConv2d(i, 192, kernel_size=1)
+
+        class InceptionD(nn.Module):
+            def __init__(self, i):
+                super().__init__()
+                self.branch3x3_1 = BasicConv2d(i, 192, kernel_size=1)
+                self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+                self.branch7x7x3_1 = BasicConv2d(i, 192, kernel_size=1)
+                self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+                self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+                self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+        class InceptionE(nn.Module):
+            def __init__(self, i):
+                super().__init__()
+                self.branch1x1 = BasicConv2d(i, 320, kernel_size=1)
+                self.branch3x3_1 = BasicConv2d(i, 384, kernel_size=1)
+                self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+                self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+                self.branch3x3dbl_1 = BasicConv2d(i, 448, kernel_size=1)
+                self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+                self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+                self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+                self.branch_pool = BasicConv2d(i, 192, kernel_size=1)
+
+        class InceptionAux(nn.Module):
+            def __init__(self, i, num_classes):
+                super().__init__()
+                self.conv0 = BasicConv2d(i, 128, kernel_size=1)
+                self.conv1 = BasicConv2d(128, 768, kernel_size=5)
+                self.fc = nn.Linear(768, num_classes)
+
+        class Inception3(nn.Module):
+            def __init__(self, num_classes=1000):
+                super().__init__()
+                self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+                self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+                self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+                self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+                self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+                self.Mixed_5b = InceptionA(192, pool_features=32)
+                self.Mixed_5c = InceptionA(256, pool_features=64)
+                self.Mixed_5d = InceptionA(288, pool_features=64)
+                self.Mixed_6a = InceptionB(288)
+                self.Mixed_6b = InceptionC(768, c7=128)
+                self.Mixed_6c = InceptionC(768, c7=160)
+                self.Mixed_6d = InceptionC(768, c7=160)
+                self.Mixed_6e = InceptionC(768, c7=192)
+                self.AuxLogits = InceptionAux(768, num_classes)
+                self.Mixed_7a = InceptionD(768)
+                self.Mixed_7b = InceptionE(1280)
+                self.Mixed_7c = InceptionE(2048)
+                self.fc = nn.Linear(2048, num_classes)
+
+        tmodel = Inception3()
+    finally:
+        qm.__exit__()
+
+    aux_ids = {f'conv{m.id}_activation'
+               for m in tmodel.AuxLogits.modules()
+               if isinstance(m, ns.iqm.Conv2dWithId)}
+    aux_ids |= {f'linear{m.id}_activation'
+                for m in tmodel.AuxLogits.modules()
+                if isinstance(m, ns.iqm.LinearWithId)}
+    # the aux tower CONSUMES ids at construction but never runs at eval
+    # (reference inference never calls AuxLogits.forward), so its sites
+    # exist in neither runtime table — only the numbering gap they leave
+    assert aux_ids == {'conv70_activation', 'conv71_activation',
+                       'linear0_activation'}
+    expected = {}
+    for m in tmodel.modules():
+        if isinstance(m, ns.iqm.Conv2dWithId):
+            expected[f'conv{m.id}_activation'] = ('activation', False, 'conv')
+        elif isinstance(m, ns.iqm.LinearWithId):
+            tag = ('activation_classifier' if m.weight.shape[0] == 1000
+                   else 'activation_linear')
+            expected[f'linear{m.id}_activation'] = (tag, False, 'linear')
+    expected = {k: v for k, v in expected.items() if k not in aux_ids}
+    assert len(expected) == 94 + 1
+
+    model, _meta = build_model('inception_v3')
+    sites = discover_sites(model, (1, 299, 299, 3))
+    got = {s.id: (s.tag, bool(s.half_range), s.kind) for s, _shape in sites}
+    assert got == expected
+    # the headline facts: conv ids jump over the consumed aux ids, and the
+    # final classifier — the one the reference's sweep lists use
+    # (inference_sim.py:125) — is linear1
+    assert 'conv72_activation' in got and 'conv70_activation' not in got
+    assert got['linear1_activation'][0] == 'activation_classifier'
