@@ -184,6 +184,62 @@ def _batch_sweep(res, batches):
     return sweep
 
 
+def _mxu_rate_probe():
+    """Measured int8 MXU rate on a large GEMM — the driver-captured
+    evidence for BASELINE.md's 'int kernels >= 80% of per-chip roofline'
+    target at the KERNEL level (round 4: 347 TOP/s = 88% of the 394 TOP/s
+    v5e int8 peak; the end-to-end model MFU is the weighted average with
+    the structurally MXU-unfriendly stem/stage-1 shapes — README roofline
+    section)."""
+    import jax
+    import jax.numpy as jnp
+    from cnn_quantization_tpu.utils.profiling import device_peaks
+    rs = np.random.RandomState(0)
+    # large K amortizes the per-step carry-perturbation add (~64MB) to
+    # ~10% of the ideal dot time; with M=N=K=4096 it is ~40% and the
+    # probe under-reads (231 TOP/s measured vs 270+ here)
+    M, K, N = 4096, 16384, 4096
+    a = jnp.asarray(rs.randint(-127, 128, (M, K)).astype(np.int8))
+    b = jnp.asarray(rs.randint(-127, 128, (K, N)).astype(np.int8))
+
+    # custom scan: the shared _timed_scan folds an f32 epsilon into the
+    # input, which would promote the int8 operands.  Here the carry is an
+    # int32 that is always 0 (rem(sum, 2) of an even-wrapping reduction
+    # would not be — use rem of a doubled value) added into the int8 input,
+    # making each step's DOT data-dependent on the previous step so XLA can
+    # neither hoist nor overlap them (an output-only carry measured 103%
+    # of peak — the dots were loop-invariant and got pipelined/hoisted).
+    def make(S):
+        @jax.jit
+        def run(x, y):
+            def body(c, _):
+                xx = x + jax.lax.rem(c, 2).astype(jnp.int8)
+                acc = jax.lax.dot_general(xx, y, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.int32)
+                s = jnp.sum(acc)
+                return jax.lax.rem(s, 2), None  # 0/±1: real dependence
+                # (a `* 0` here would be constant-folded and re-enable
+                # hoisting — axon measurement protocol)
+            out, _ = jax.lax.scan(body, jnp.int32(0), None, length=S)
+            return out
+        return run
+
+    times = {}
+    for S in (4, 36):
+        run = make(S)
+        float(run(a, b))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(a, b))
+            best = min(best, time.perf_counter() - t0)
+        times[S] = best
+    t = (times[36] - times[4]) / 32
+    tops = 2 * M * N * K / t
+    return {'int8_dot_tops': round(tops / 1e12, 1),
+            'int8_dot_mfu': round(tops / device_peaks()['int8_ops'], 4)}
+
+
 def _stochastic_smoke():
     """Execute the stochastic-rounding Pallas kernel ON THE CHIP (the
     interpret-mode test path substitutes a jnp fallback, so this is the
@@ -227,6 +283,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             smoke = {'pallas_stochastic_ok': False,
                      'stochastic_error': f'{type(e).__name__}: {e}'}
+        try:
+            smoke.update(_mxu_rate_probe())
+        except Exception as e:  # noqa: BLE001
+            smoke['mxu_probe_error'] = f'{type(e).__name__}: {e}'
         print(json.dumps({
             'metric': 'resnet50_int8_serving_images_per_sec_per_chip',
             'value': round(ips_s, 2),

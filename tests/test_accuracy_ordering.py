@@ -121,6 +121,9 @@ CONFIGS = {
     'headline': ['-pcq_w', '-pcq_a', '--qtype', 'int4', '-qw', 'int4',
                  '-c', 'laplace', '-baa', '-baw', '-bcw'],
     '2std': ['--qtype', 'int4', '-qw', 'int8', '-c', '2std'],
+    # true-integer deployment path (the arithmetic the reference only
+    # simulates): offline-prepared int8 weights + frozen activation scales
+    'w8a8_serving': ['--qtype', 'int8', '-qw', 'int8', '--serving_int8'],
 }
 
 
@@ -143,6 +146,10 @@ def test_recipe_accuracy_ordering(trained_assets, capsys, tmp_path, monkeypatch)
     assert top1['fp32'] > 70.0, top1
     # W8A8 ~ fp32 (reference: int8 is lossless to within run noise)
     assert top1['w8a8'] > top1['fp32'] - 2.0, top1
+    # true-int8 SERVING ~ W8A8 simulation: the deployment arithmetic
+    # (int8 MXU convs, frozen abs-max scales, int8-resident boundaries)
+    # costs no real accuracy on a trained network
+    assert top1['w8a8_serving'] > top1['w8a8'] - 1.5, top1
     # headline recipe strictly beats naive W4A4 (reference: 73.33 vs 62.15)
     assert top1['headline'] > top1['naive_w4a4'], top1
     # naive W4A4 strictly beats 2std clipping with margin (reference:

@@ -94,3 +94,27 @@ def test_cpu_compiled_module_roundtrip():
     # at least: read both f32 inputs, write the s8 output
     assert t['total'] >= 2 * 4 * nbytes + nbytes
     assert t['total'] < 20 * 4 * nbytes
+
+
+def test_serving_model_bytes_ordering():
+    """On a real compiled serving model (CPU backend): HLO-grounded traffic
+    must be positive and no larger than XLA cost-analysis 'bytes accessed'
+    (the documented upper bound) plus parameter-copy slack."""
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import QuantEngine, QuantPolicy, TapContext
+    from cnn_quantization_tpu.utils.profiling import roofline_report
+
+    model, meta = build_model('resnet18')
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, TapContext())['params']
+    eng = QuantEngine(model, QuantPolicy(arch='resnet18', qtype='int8',
+                                         qweight='int8'), meta)
+    sp = eng.prepare_serving_params(eng.quantize_params(params))
+    fwd = eng.make_forward(quantized='serving_int8')
+    rep = roofline_report(lambda p, im: fwd(p, None, im)[0], (sp, x0),
+                          calls_per_sec=1.0, int8=True)
+    assert rep.bytes_hlo > 0 and rep.bytes_xla > 0
+    # CPU has no memory-space assignment, so hlo ~ sum of boundary buffers;
+    # allow 20% slack for double-counted parameter copies
+    assert rep.bytes_hlo <= rep.bytes_xla * 1.2
+    assert rep.flops_per_call > 0
