@@ -186,57 +186,12 @@ class QConv(nn.Module):
                 # (resnet.py Bottleneck passes out_spec/residual); a stray
                 # 1x1 conv in packed mode (e.g. a BasicBlock downsample)
                 # stays on the XLA path unchanged
-                # packed-serving 1x1 conv == Pallas int4 GEMM: packed (or
-                # plain int8) codes in, fused dequant/residual/ReLU/requant
-                # epilogue, codes out — block boundaries cross HBM at 4
-                # bits (ops/kernels/int4_matmul.py); orchestrated by
-                # models/resnet.py Bottleneck
-                from ..ops.kernels.int4_matmul import int4_matmul
-                if packed_in:
-                    a, a_scale, a_packed = x.codes, x.scale, True
-                elif prequant:
-                    a, a_scale, a_packed = x, pre_scale, False
-                else:
-                    a_scale = None
-                    if self.site is not None:
-                        a_scale = getattr(ctx, 'act_scales', {}).get(
-                            self.site.id)
-                    assert a_scale is not None, \
-                        'packed serving requires frozen activation scales'
-                    qm = 2.0 ** (act_bits - 1) - 1.0
-                    a = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
-                                 -qm, qm).astype(jnp.int8)
-                    a_packed = False
-                s = _pair(self.strides)
-                if s != (1, 1):
-                    a = a[:, ::s[0], ::s[1], :]
-                n, h, w, cc = a.shape
-                alpha = (jnp.asarray(a_scale, jnp.float32)
-                         * w_scale).astype(jnp.float32)
-                beta = (jnp.zeros((self.features,), jnp.float32)
-                        if bias is None else bias.astype(jnp.float32))
-                res2 = res_scale = None
-                if residual is not None:
-                    res2 = residual.codes.reshape(
-                        -1, residual.codes.shape[-1])
-                    res_scale = residual.scale
-                mode = 'f32' if out_spec is None else out_spec[0]
-                out_scale = None if out_spec is None else out_spec[1]
-                y2 = int4_matmul(
-                    a.reshape(n * h * w, cc),
-                    kernel.reshape(in_ch, self.features), alpha, beta,
-                    residual=res2, res_scale=res_scale, out_scale=out_scale,
-                    a_packed=a_packed, fuse_relu=fuse_relu, out_mode=mode,
-                    out_qmax=2.0 ** (act_bits - 1) - 1.0,
-                    out_dtype=self.dtype)
-                if mode == 'packed':
-                    y = PackedQTensor(y2.reshape(n, h, w, self.features // 2),
-                                      jnp.asarray(out_scale, jnp.float32))
-                elif mode == 'int8':
-                    y = QTensor(y2.reshape(n, h, w, self.features),
-                                jnp.asarray(out_scale, jnp.float32))
-                else:
-                    y = y2.reshape(n, h, w, self.features)
+                y = _packed_gemm_1x1(
+                    self, ctx, x, packed_in=packed_in, prequant=prequant,
+                    pre_scale=pre_scale if prequant else None,
+                    kernel=kernel, w_scale=w_scale, bias=bias,
+                    residual=residual, out_spec=out_spec,
+                    fuse_relu=fuse_relu, act_bits=act_bits)
                 if self.site is not None:
                     y = ctx.tap(y, self.site)
                 return y
@@ -336,6 +291,56 @@ class QConv(nn.Module):
         if self.site is not None:
             y = ctx.tap(y, self.site)
         return y
+
+
+def _packed_gemm_1x1(mod, ctx, x, *, packed_in, prequant, pre_scale, kernel,
+                     w_scale, bias, residual, out_spec, fuse_relu, act_bits):
+    """Packed-serving 1x1 conv == Pallas int4 GEMM: packed (or plain int8)
+    codes in, fused dequant/residual/ReLU/requant epilogue, codes out —
+    block boundaries cross HBM at 4 bits (ops/kernels/int4_matmul.py);
+    orchestrated by models/resnet.py Bottleneck.  ``mod`` is the QConv.
+    """
+    from ..ops.kernels.int4_matmul import int4_matmul
+    if packed_in:
+        a, a_scale, a_packed = x.codes, x.scale, True
+    elif prequant:
+        a, a_scale, a_packed = x, pre_scale, False
+    else:
+        a_scale = None
+        if mod.site is not None:
+            a_scale = getattr(ctx, 'act_scales', {}).get(mod.site.id)
+        assert a_scale is not None, \
+            'packed serving requires frozen activation scales'
+        qm = 2.0 ** (act_bits - 1) - 1.0
+        a = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                     -qm, qm).astype(jnp.int8)
+        a_packed = False
+    s = _pair(mod.strides)
+    if s != (1, 1):
+        a = a[:, ::s[0], ::s[1], :]
+    n, h, w, cc = a.shape
+    in_ch = kernel.shape[2]
+    alpha = (jnp.asarray(a_scale, jnp.float32) * w_scale).astype(jnp.float32)
+    beta = (jnp.zeros((mod.features,), jnp.float32)
+            if bias is None else bias.astype(jnp.float32))
+    res2 = res_scale = None
+    if residual is not None:
+        res2 = residual.codes.reshape(-1, residual.codes.shape[-1])
+        res_scale = residual.scale
+    mode = 'f32' if out_spec is None else out_spec[0]
+    out_scale = None if out_spec is None else out_spec[1]
+    y2 = int4_matmul(
+        a.reshape(n * h * w, cc), kernel.reshape(in_ch, mod.features),
+        alpha, beta, residual=res2, res_scale=res_scale, out_scale=out_scale,
+        a_packed=a_packed, fuse_relu=fuse_relu, out_mode=mode,
+        out_qmax=2.0 ** (act_bits - 1) - 1.0, out_dtype=mod.dtype)
+    if mode == 'packed':
+        return PackedQTensor(y2.reshape(n, h, w, mod.features // 2),
+                             jnp.asarray(out_scale, jnp.float32))
+    if mode == 'int8':
+        return QTensor(y2.reshape(n, h, w, mod.features),
+                       jnp.asarray(out_scale, jnp.float32))
+    return y2.reshape(n, h, w, mod.features)
 
 
 class QLinear(nn.Module):

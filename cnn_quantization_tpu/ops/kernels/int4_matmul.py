@@ -11,9 +11,13 @@ BETWEEN Pallas calls and no XLA-side pack/unpack fusion is needed:
   * The residual identity arrives packed and is unpacked inside the
     epilogue (dequant + add + ReLU + requant fused in VMEM).
   * The output can be written packed (two codes per byte) — halving the
-    block-boundary HBM writes that dominate the serving roofline
-    (round-4 profiler trace: the three stage-1 expansion convs alone are
-    ~22% of device time, all bound on boundary-tensor traffic).
+    block-boundary HBM writes.  Round-4 outcome, measured on-chip: the
+    packed kernels beat the XLA convs they replace in isolation (stage-1
+    expansion 219us vs 446us in-model) and cut the modeled byte footprint
+    ~38%, but the stitched MODEL loses 2.4x to XLA<->Pallas graph friction
+    (unfused requant epilogues, layout copies, a pessimized maxpool) — see
+    README "Int4-packed serving"; the path is kept correct, tested and
+    opt-in (--serving_packed).
 
 Packing convention — "group-local split-half", chosen so neither producer
 nor consumer ever permutes lanes: channels are processed in groups of
