@@ -839,3 +839,111 @@ def test_inception_site_tag_table(tmp_path):
     # (inference_sim.py:125) — is linear1
     assert 'conv72_activation' in got and 'conv70_activation' not in got
     assert got['linear1_activation'][0] == 'activation_classifier'
+
+
+def test_googlenet_site_tag_table(tmp_path):
+    """GoogLeNet construction-order site numbering vs the reference — the
+    richest id-consumption case: torchvision always CONSTRUCTS both aux
+    towers (deleting them afterwards when aux_logits is off), so they
+    consume conv/bn ids and linear0..3 and the live classifier is
+    ``linear4_activation``; BN is neither folded nor marked for googlenet
+    (inference_sim.py:175-182), so every BasicConv2d BN is a live
+    quantization site; nn.MaxPool2d modules are pooling sites while the
+    final AdaptiveAvgPool2d is not patched at all (i_q_m.py:518-533)."""
+    import torch.nn as nn
+    from cnn_quantization_tpu.engine.qparams import discover_sites
+
+    ns = load_reference_manager()
+    ns.reset(stats_base_dir=tmp_path)
+    args = make_ref_args(arch='googlenet', qtype='int4', qweight='int4')
+    qm = ns.iqm.QuantizationManagerInference(args, make_ref_qparams(args))
+    qm.__enter__()
+    try:
+        class BasicConv2d(nn.Module):
+            def __init__(self, i, o, **kw):
+                super().__init__()
+                self.conv = nn.Conv2d(i, o, bias=False, **kw)
+                self.bn = nn.BatchNorm2d(o, eps=0.001)
+
+        class Inception(nn.Module):
+            def __init__(self, i, ch1, ch3red, ch3, ch5red, ch5, pool_proj):
+                super().__init__()
+                self.branch1 = BasicConv2d(i, ch1, kernel_size=1)
+                self.branch2 = nn.Sequential(
+                    BasicConv2d(i, ch3red, kernel_size=1),
+                    BasicConv2d(ch3red, ch3, kernel_size=3, padding=1))
+                self.branch3 = nn.Sequential(
+                    BasicConv2d(i, ch5red, kernel_size=1),
+                    BasicConv2d(ch5red, ch5, kernel_size=3, padding=1))
+                self.branch4 = nn.Sequential(
+                    nn.MaxPool2d(kernel_size=3, stride=1, padding=1,
+                                 ceil_mode=True),
+                    BasicConv2d(i, pool_proj, kernel_size=1))
+
+        class InceptionAux(nn.Module):
+            def __init__(self, i, num_classes):
+                super().__init__()
+                self.conv = BasicConv2d(i, 128, kernel_size=1)
+                self.fc1 = nn.Linear(2048, 1024)
+                self.fc2 = nn.Linear(1024, num_classes)
+
+        class GoogLeNet(nn.Module):
+            def __init__(self, num_classes=1000):
+                super().__init__()
+                self.conv1 = BasicConv2d(3, 64, kernel_size=7, stride=2, padding=3)
+                self.maxpool1 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+                self.conv2 = BasicConv2d(64, 64, kernel_size=1)
+                self.conv3 = BasicConv2d(64, 192, kernel_size=3, padding=1)
+                self.maxpool2 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+                self.inception3a = Inception(192, 64, 96, 128, 16, 32, 32)
+                self.inception3b = Inception(256, 128, 128, 192, 32, 96, 64)
+                self.maxpool3 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+                self.inception4a = Inception(480, 192, 96, 208, 16, 48, 64)
+                self.inception4b = Inception(512, 160, 112, 224, 24, 64, 64)
+                self.inception4c = Inception(512, 128, 128, 256, 24, 64, 64)
+                self.inception4d = Inception(512, 112, 144, 288, 32, 64, 64)
+                self.inception4e = Inception(528, 256, 160, 320, 32, 128, 128)
+                self.maxpool4 = nn.MaxPool2d(2, stride=2, ceil_mode=True)
+                self.inception5a = Inception(832, 256, 160, 320, 32, 128, 128)
+                self.inception5b = Inception(832, 384, 192, 384, 48, 128, 128)
+                self.aux1 = InceptionAux(512, num_classes)
+                self.aux2 = InceptionAux(528, num_classes)
+                self.fc = nn.Linear(1024, num_classes)
+
+        tmodel = GoogLeNet()
+    finally:
+        qm.__exit__()
+
+    aux_ids = set()
+    for aux in (tmodel.aux1, tmodel.aux2):
+        for m in aux.modules():
+            if isinstance(m, ns.iqm.Conv2dWithId):
+                aux_ids.add(f'conv{m.id}_activation')
+            elif isinstance(m, ns.iqm.BatchNorm2dWithId):
+                aux_ids.add(f'bn{m.id}_activation')
+            elif isinstance(m, ns.iqm.LinearWithId):
+                aux_ids.add(f'linear{m.id}_activation')
+    assert {f'linear{i}_activation' for i in range(4)} <= aux_ids
+
+    expected = {}
+    for m in tmodel.modules():
+        if isinstance(m, ns.iqm.Conv2dWithId):
+            expected[f'conv{m.id}_activation'] = ('activation', False, 'conv')
+        elif isinstance(m, ns.iqm.BatchNorm2dWithId):
+            expected[f'bn{m.id}_activation'] = ('activation', False, 'bn')
+        elif isinstance(m, ns.iqm.LinearWithId):
+            tag = ('activation_classifier' if m.weight.shape[0] == 1000
+                   else 'activation_linear')
+            expected[f'linear{m.id}_activation'] = (tag, False, 'linear')
+        elif isinstance(m, ns.iqm.MaxPool2dWithId):
+            expected[f'maxpool{m.id}_out'] = ('activation_pooling', False,
+                                              'maxpool')
+    expected = {k: v for k, v in expected.items() if k not in aux_ids}
+    # 57 convs + 57 bns live (59 constructed incl. 2 aux) + 13 maxpools + fc
+    assert len(expected) == 57 + 57 + 13 + 1
+
+    model, _meta = build_model('googlenet')
+    sites = discover_sites(model, (1, 224, 224, 3))
+    got = {s.id: (s.tag, bool(s.half_range), s.kind) for s, _shape in sites}
+    assert got == expected
+    assert got['linear4_activation'][0] == 'activation_classifier'
