@@ -418,3 +418,179 @@ def test_googlenet_matches_torch():
     got = model.apply({'params': params},
                       jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+
+
+def _torch_inception3():
+    """Minimal torchvision-compatible Inception-v3 (eval path, no aux)."""
+    import torch.nn.functional as F
+    tnn = torch.nn
+
+    class BasicConv2d(tnn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+        def forward(self, x):
+            return torch.relu(self.bn(self.conv(x)))
+
+    class InceptionA(tnn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch5x5_1 = BasicConv2d(cin, 48, kernel_size=1)
+            self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))], 1)
+
+    class InceptionB(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(cin, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionC(tnn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            return torch.cat([
+                self.branch1x1(x), b7, bd,
+                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))], 1)
+
+    class InceptionD(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch3x3_2(self.branch3x3_1(x)),
+                self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                    self.branch7x7x3_1(x)))),
+                F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionE(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 320, kernel_size=1)
+            self.branch3x3_1 = BasicConv2d(cin, 384, kernel_size=1)
+            self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(cin, 448, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            y = self.branch3x3_1(x)
+            z = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            return torch.cat([
+                self.branch1x1(x),
+                torch.cat([self.branch3x3_2a(y), self.branch3x3_2b(y)], 1),
+                torch.cat([self.branch3x3dbl_3a(z), self.branch3x3dbl_3b(z)], 1),
+                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))], 1)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+            self.Mixed_5b = InceptionA(192, pool_features=32)
+            self.Mixed_5c = InceptionA(256, pool_features=64)
+            self.Mixed_5d = InceptionA(288, pool_features=64)
+            self.Mixed_6a = InceptionB(288)
+            self.Mixed_6b = InceptionC(768, c7=128)
+            self.Mixed_6c = InceptionC(768, c7=160)
+            self.Mixed_6d = InceptionC(768, c7=160)
+            self.Mixed_6e = InceptionC(768, c7=192)
+            self.Mixed_7a = InceptionD(768)
+            self.Mixed_7b = InceptionE(1280)
+            self.Mixed_7c = InceptionE(2048)
+            self.fc = tnn.Linear(2048, 1000)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+            x0 = x[:, 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+            x1 = x[:, 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+            x2 = x[:, 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+            x = torch.cat([x0, x1, x2], 1)
+            x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            x = F.max_pool2d(x, 3, stride=2)
+            x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+            x = F.max_pool2d(x, 3, stride=2)
+            x = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(x)))
+            x = self.Mixed_6a(x)
+            x = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(self.Mixed_6b(x))))
+            x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
+            x = F.adaptive_avg_pool2d(x, (1, 1))
+            return self.fc(torch.flatten(x, 1))
+
+    return Net()
+
+
+def test_inception_v3_matches_torch():
+    """Inception-v3 forward parity vs a torchvision-compatible twin, with
+    the reference's BN-folding applied at import (inception_v3 IS folded —
+    inference_sim.py:179-182); closes the only model family that lacked a
+    torch ground-truth forward test."""
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import TapContext
+    from cnn_quantization_tpu.utils.torch_import import import_arch
+
+    torch.manual_seed(0)
+    tm = _torch_inception3().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+    x = torch.randn(2, 3, 128, 128)
+    with torch.no_grad():
+        want = tm(x).numpy()
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    model, meta = build_model('inception_v3')
+    assert meta.fold_bn
+    params = import_arch('inception_v3', state, fold_bn=True)
+    got = model.apply({'params': params},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
