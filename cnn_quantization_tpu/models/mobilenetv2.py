@@ -20,27 +20,21 @@ def relu6(x):
     return jnp.minimum(jnp.maximum(x, 0), 6)
 
 
-class ConvBNReLU(nn.Module):
-    features: int
-    kernel: int = 3
-    stride: int = 1
-    groups: int = 1
-    fold_bn: bool = True
-    sites: tuple = ()   # (conv_site, bn_site)
-    prefix: str = '0'
-
-    @nn.compact
-    def __call__(self, x, ctx):
-        conv_site, bn_site = self.sites
-        pad = (self.kernel - 1) // 2
-        folded = self.fold_bn and self.groups == 1
-        x = QConv(self.features, self.kernel, self.stride, pad,
-                  groups=self.groups, use_bias=folded, site=conv_site,
-                  name=f'{self.prefix}_0')(x, ctx)
-        if not folded:
-            x = QBatchNorm(self.features, site=bn_site,
-                           name=f'{self.prefix}_1')(x, ctx)
-        return relu6(x)
+def conv_bn_relu(x, ctx, features, *, kernel=3, stride=1, groups=1,
+                 fold_bn=True, sites=(), prefix='0'):
+    """torchvision ``ConvBNReLU`` as a scope-transparent helper: creating
+    it as a submodule would add a scope level that torchvision's flat
+    ``features.N.0`` state-dict naming does not have (caught round 4 by
+    the mobilenet torch ground-truth test) — the conv/bn params must live
+    DIRECTLY in the caller's scope as ``{prefix}_0``/``{prefix}_1``."""
+    conv_site, bn_site = sites
+    pad = (kernel - 1) // 2
+    folded = fold_bn and groups == 1
+    x = QConv(features, kernel, stride, pad, groups=groups, use_bias=folded,
+              site=conv_site, name=f'{prefix}_0')(x, ctx)
+    if not folded:
+        x = QBatchNorm(features, site=bn_site, name=f'{prefix}_1')(x, ctx)
+    return relu6(x)
 
 
 class InvertedResidual(nn.Module):
@@ -59,12 +53,13 @@ class InvertedResidual(nn.Module):
         out = x
         idx = 0
         if self.expand != 1:
-            out = ConvBNReLU(hidden, 1, 1, fold_bn=self.fold_bn,
-                             sites=next(s), prefix=f'conv_{idx}')(out, ctx)
+            out = conv_bn_relu(out, ctx, hidden, kernel=1, stride=1,
+                               fold_bn=self.fold_bn, sites=next(s),
+                               prefix=f'conv_{idx}')
             idx += 1
-        out = ConvBNReLU(hidden, 3, self.stride, groups=hidden,
-                         fold_bn=self.fold_bn, sites=next(s),
-                         prefix=f'conv_{idx}')(out, ctx)
+        out = conv_bn_relu(out, ctx, hidden, kernel=3, stride=self.stride,
+                           groups=hidden, fold_bn=self.fold_bn,
+                           sites=next(s), prefix=f'conv_{idx}')
         idx += 1
         conv_site, bn_site = next(s)
         folded = self.fold_bn  # project conv groups==1 -> folds
@@ -91,13 +86,15 @@ class MobileNetV2(nn.Module):
     @nn.compact
     def __call__(self, x, ctx: TapContext):
         st = self.sites
-        x = ConvBNReLU(32, 3, 2, fold_bn=self.fold_bn, sites=st['stem'],
-                       prefix='0', name='features_0')(x, ctx)
+        x = conv_bn_relu(x, ctx, 32, kernel=3, stride=2,
+                         fold_bn=self.fold_bn, sites=st['stem'],
+                         prefix='features_0')
         for i, (in_ch, out_ch, stride, t, block_sites) in enumerate(self.block_specs):
             x = InvertedResidual(in_ch, out_ch, stride, t, self.fold_bn,
                                  block_sites, name=f'features_{i + 1}')(x, ctx)
-        x = ConvBNReLU(1280, 1, 1, fold_bn=self.fold_bn, sites=st['head'],
-                       prefix='0', name='features_18')(x, ctx)
+        x = conv_bn_relu(x, ctx, 1280, kernel=1, stride=1,
+                         fold_bn=self.fold_bn, sites=st['head'],
+                         prefix='features_18')
         x = jnp.mean(x, axis=(1, 2))
         x = QLinear(self.num_classes, site=st['fc'], name='classifier_1')(x, ctx)
         return x

@@ -594,3 +594,88 @@ def test_inception_v3_matches_torch():
     got = model.apply({'params': params},
                       jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+
+
+def _torch_mobilenet_v2():
+    """Minimal torchvision-compatible MobileNetV2 (state-dict names match
+    torchvision: features.N..., classifier.1)."""
+    tnn = torch.nn
+
+    class ConvBNReLU(tnn.Sequential):
+        def __init__(self, cin, cout, kernel_size=3, stride=1, groups=1):
+            pad = (kernel_size - 1) // 2
+            super().__init__(
+                tnn.Conv2d(cin, cout, kernel_size, stride, pad, groups=groups,
+                           bias=False),
+                tnn.BatchNorm2d(cout),
+                tnn.ReLU6(inplace=False))
+
+    class InvertedResidual(tnn.Module):
+        def __init__(self, cin, cout, stride, expand_ratio):
+            super().__init__()
+            self.stride = stride
+            hidden = int(round(cin * expand_ratio))
+            self.use_res_connect = stride == 1 and cin == cout
+            layers = []
+            if expand_ratio != 1:
+                layers.append(ConvBNReLU(cin, hidden, kernel_size=1))
+            layers.extend([
+                ConvBNReLU(hidden, hidden, stride=stride, groups=hidden),
+                tnn.Conv2d(hidden, cout, 1, 1, 0, bias=False),
+                tnn.BatchNorm2d(cout)])
+            self.conv = tnn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res_connect else self.conv(x)
+
+    class Net(tnn.Module):
+        def __init__(self, num_classes=1000):
+            super().__init__()
+            cfg = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                   (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2),
+                   (6, 320, 1, 1)]
+            features = [ConvBNReLU(3, 32, stride=2)]
+            cin = 32
+            for t, c, n, s in cfg:
+                for i in range(n):
+                    features.append(InvertedResidual(
+                        cin, c, s if i == 0 else 1, t))
+                    cin = c
+            features.append(ConvBNReLU(cin, 1280, kernel_size=1))
+            self.features = tnn.Sequential(*features)
+            self.classifier = tnn.Sequential(
+                tnn.Dropout(0.2), tnn.Linear(1280, num_classes))
+
+        def forward(self, x):
+            x = self.features(x)
+            x = x.mean([2, 3])
+            return self.classifier(x)
+
+    return Net()
+
+
+def test_mobilenet_v2_matches_torch():
+    """MobileNet-v2 forward parity vs a torchvision-compatible twin under
+    the reference's PARTIAL BN fold (groups==1 convs fold, depthwise BNs
+    stay live — absorb_bn.py:31): the strongest depthwise/import stress in
+    the zoo."""
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import TapContext
+    from cnn_quantization_tpu.utils.torch_import import import_arch
+
+    torch.manual_seed(0)
+    tm = _torch_mobilenet_v2().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+    x = torch.randn(2, 3, 96, 96)
+    with torch.no_grad():
+        want = tm(x).numpy()
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    model, meta = build_model('mobilenet_v2')
+    params = import_arch('mobilenet_v2', state, fold_bn=meta.fold_bn)
+    got = model.apply({'params': params},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
