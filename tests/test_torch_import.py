@@ -679,3 +679,134 @@ def test_mobilenet_v2_matches_torch():
     got = model.apply({'params': params},
                       jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+
+
+def _randomize_bn(tm):
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+
+
+def _match_torch(arch, tm, x, fold_bn):
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import TapContext
+    from cnn_quantization_tpu.utils.torch_import import import_arch
+    tm = tm.eval()
+    _randomize_bn(tm)
+    with torch.no_grad():
+        want = tm(x).numpy()
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    model, meta = build_model(arch)
+    assert meta.fold_bn == fold_bn
+    params = import_arch(arch, state, fold_bn=fold_bn)
+    got = model.apply({'params': params},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), TapContext())
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+
+
+def test_alexnet_matches_torch():
+    """AlexNet forward parity vs the torchvision Sequential layout
+    (features.0/3/6/8/10 convs, classifier.1/4/6 linears)."""
+    tnn = torch.nn
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(
+                tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(),
+                tnn.MaxPool2d(3, 2),
+                tnn.Conv2d(64, 192, 5, padding=2), tnn.ReLU(),
+                tnn.MaxPool2d(3, 2),
+                tnn.Conv2d(192, 384, 3, padding=1), tnn.ReLU(),
+                tnn.Conv2d(384, 256, 3, padding=1), tnn.ReLU(),
+                tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+                tnn.MaxPool2d(3, 2))
+            self.classifier = tnn.Sequential(
+                tnn.Dropout(), tnn.Linear(256 * 6 * 6, 4096), tnn.ReLU(),
+                tnn.Dropout(), tnn.Linear(4096, 4096), tnn.ReLU(),
+                tnn.Linear(4096, 1000))
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.classifier(torch.flatten(x, 1))
+
+    torch.manual_seed(0)
+    _match_torch('alexnet', Net(), torch.randn(2, 3, 224, 224), fold_bn=False)
+
+
+def test_vgg16_bn_matches_torch():
+    """VGG-16-bn forward parity with the reference's BN folding applied
+    at import (vgg16_bn IS folded — inference_sim.py:179-182)."""
+    tnn = torch.nn
+    cfg = [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M',
+           512, 512, 512, 'M', 512, 512, 512, 'M']
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = []
+            cin = 3
+            for v in cfg:
+                if v == 'M':
+                    layers.append(tnn.MaxPool2d(2, 2))
+                else:
+                    layers += [tnn.Conv2d(cin, v, 3, padding=1),
+                               tnn.BatchNorm2d(v), tnn.ReLU()]
+                    cin = v
+            self.features = tnn.Sequential(*layers)
+            self.classifier = tnn.Sequential(
+                tnn.Linear(512 * 7 * 7, 4096), tnn.ReLU(), tnn.Dropout(),
+                tnn.Linear(4096, 4096), tnn.ReLU(), tnn.Dropout(),
+                tnn.Linear(4096, 1000))
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.classifier(torch.flatten(x, 1))
+
+    torch.manual_seed(0)
+    _match_torch('vgg16_bn', Net(), torch.randn(1, 3, 224, 224), fold_bn=True)
+
+
+def test_squeezenet1_0_matches_torch():
+    """SqueezeNet-1.0 forward parity: Fire modules (squeeze/expand1x1/
+    expand3x3), ceil-mode maxpools, conv classifier + global pool."""
+    tnn = torch.nn
+
+    class Fire(tnn.Module):
+        def __init__(self, cin, s, e1, e3):
+            super().__init__()
+            self.squeeze = tnn.Conv2d(cin, s, 1)
+            self.expand1x1 = tnn.Conv2d(s, e1, 1)
+            self.expand3x3 = tnn.Conv2d(s, e3, 3, padding=1)
+
+        def forward(self, x):
+            x = torch.relu(self.squeeze(x))
+            return torch.cat([torch.relu(self.expand1x1(x)),
+                              torch.relu(self.expand3x3(x))], 1)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(
+                tnn.Conv2d(3, 96, 7, 2), tnn.ReLU(),
+                tnn.MaxPool2d(3, 2, ceil_mode=True),
+                Fire(96, 16, 64, 64), Fire(128, 16, 64, 64),
+                Fire(128, 32, 128, 128),
+                tnn.MaxPool2d(3, 2, ceil_mode=True),
+                Fire(256, 32, 128, 128), Fire(256, 48, 192, 192),
+                Fire(384, 48, 192, 192), Fire(384, 64, 256, 256),
+                tnn.MaxPool2d(3, 2, ceil_mode=True),
+                Fire(512, 64, 256, 256))
+            self.classifier = tnn.Sequential(
+                tnn.Dropout(), tnn.Conv2d(512, 1000, 1), tnn.ReLU(),
+                tnn.AdaptiveAvgPool2d((1, 1)))
+
+        def forward(self, x):
+            x = self.classifier(self.features(x))
+            return torch.flatten(x, 1)
+
+    torch.manual_seed(0)
+    _match_torch('squeezenet1_0', Net(), torch.randn(2, 3, 224, 224),
+                 fold_bn=False)
