@@ -100,3 +100,28 @@ def test_basicblock_arch_ignores_packed():
                                      act_scales=scales, packed=True))(
         sp, None, x)
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_unfolded_bottleneck_arch_ignores_packed():
+    """resnext50 is a Bottleneck trunk but is NOT BN-folded (no 'resnet'
+    substring — inference_sim.py:175-182), and the packed path requires
+    folded serving params; packed=True must fall back to the identical
+    plain graph."""
+    model, meta = build_model('resnext50_32x4d')
+    assert not meta.fold_bn
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, x0, TapContext())['params'])(
+        jax.random.PRNGKey(2))
+    policy = QuantPolicy(qtype='int4', qweight='int4', arch='resnext50_32x4d')
+    eng = QuantEngine(model, policy, meta)
+    sp = eng.prepare_serving_params(eng.quantize_params(params))
+    rng = np.random.RandomState(2)
+    cal = [(rng.rand(2, 64, 64, 3).astype(np.float32), np.zeros(2, np.int32))]
+    scales = eng.freeze_serving_scales(sp, cal, packed=True)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    la, _ = jax.jit(eng.make_forward(quantized='serving_int8',
+                                     act_scales=scales))(sp, None, x)
+    lb, _ = jax.jit(eng.make_forward(quantized='serving_int8',
+                                     act_scales=scales, packed=True))(
+        sp, None, x)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
