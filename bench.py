@@ -154,11 +154,14 @@ def bench(arch='resnet50', batch=128, dtype='bfloat16'):
                            (sp4, images), calls_per_sec=1.0 / t_w4p, int8=True)
     try:
         txt = optimized_hlo(lambda p, im: fwd_s(p, None, im)[0], sp8, images)
-        # whitelist: the input f32->bf16 cast feeding the bf16 stem (input-
-        # pipeline work, not an inter-block boundary)
+        # whitelist by output signature, not name (ADVICE r4): exactly ONE
+        # bf16 tensor of the input's element count is expected — the
+        # f32->bf16 cast feeding the bf16 stem (input-pipeline work, not an
+        # inter-block boundary).  Any other wide tensor, including a second
+        # convert of the same size, still flags.
         offenders = check_int8_residency(
             txt, min_elems=1 << 21,
-            allow_prefixes=('convert_element_type',))
+            allow_outputs=(('bf16', images.size),))
         out['int8_resident_offenders'] = len(offenders)
     except Exception as e:  # noqa: BLE001
         out['int8_resident_offenders'] = f'error: {type(e).__name__}'

@@ -265,13 +265,9 @@ class QuantEngine:
             # conv0 (the stem / in_ch==3 conv) is the reference's automatic
             # 8-bit exception for int4 runs (i_q_m.py:336-338) — the s2d stem
             # quantizes its input on the full int8 grid accordingly
-            # packed serving stores ':out' (downsample identity) codes on
-            # the int4 grid inside the Pallas epilogue, so the frozen scale
-            # must use the act-bit qmax there; the plain serving path keeps
-            # them full-int8 (the codes are only dequantized for the add)
             bits = (8 if site_id.startswith('linear')
                     or site_id.startswith('conv0_')
-                    or (site_id.endswith(':out') and not packed)
+                    or site_id.endswith(':out')
                     else act_bits)
             qmax = 2.0 ** (bits - 1) - 1.0
             absmax = max(stats['absmax'])
@@ -285,6 +281,19 @@ class QuantEngine:
             else:
                 raise ValueError(f'unknown serving calibration mode {mode!r}')
             frozen[site_id] = max(clip / qmax, 1e-8)
+            if packed and site_id.endswith(':out'):
+                # packed serving stores ':out' (downsample identity) codes on
+                # the act-bit grid inside the Pallas epilogue; the scale for
+                # that grid lives under a DISTINCT ':out:packed' key so (a)
+                # the plain/fallback path always keeps its full-int8 identity
+                # grid (the plain ':out' scale above is frozen regardless) and
+                # (b) packed-frozen provenance is structural: the packed
+                # forward requires ':out:packed' keys, which only
+                # freeze_serving_scales(packed=True) emits — scales frozen
+                # without packed=True can never engage the packed epilogue on
+                # an int8-grid scale (ADVICE r4 medium)
+                qmax_p = 2.0 ** (act_bits - 1) - 1.0
+                frozen[site_id + ':packed'] = max(clip / qmax_p, 1e-8)
         return frozen
 
     def freeze_qparams(self, stats, input_shape=None):

@@ -141,7 +141,8 @@ class Bottleneck(nn.Module):
                 identity = QConv(
                     s.out_planes, 1, s.stride, 0, use_bias=fold, site=dc,
                     out_codes=fold, dtype=dt, name='downsample_0')(
-                    x, ctx, out_spec=('packed', scales[dc.id + ':out']))
+                    x, ctx, out_spec=('packed',
+                                      scales[dc.id + ':out:packed']))
             else:
                 identity = x  # packed codes from the previous block
             return QConv(s.out_planes, 1, 1, 0, use_bias=fold, site=c3,
@@ -207,8 +208,11 @@ class ResNet(nn.Module):
         # W4A4 packed serving is all-or-nothing across the trunk: every
         # block must be a Bottleneck with group-alignable output channels
         # and every needed frozen scale present (block input scales, conv2/
-        # conv3 input scales, downsample ':out' scales) — else the model
-        # falls back to the plain int8-resident serving path everywhere.
+        # conv3 input scales, downsample ':out:packed' scales — the latter
+        # exist ONLY when freeze_serving_scales ran with packed=True, so
+        # int8-grid frozen scales can never engage the packed epilogue) —
+        # else the model falls back to the plain int8-resident serving path
+        # everywhere.
         packed_ok = (getattr(ctx, 'packed', False) and self.fold_bn
                      and all(sp.bottleneck and sp.out_planes % 256 == 0
                              for sp in blocks))
@@ -219,7 +223,7 @@ class ResNet(nn.Module):
                 need += [sp.conv_sites[0][0].id, sp.conv_sites[1][0].id,
                          sp.conv_sites[2][0].id]
                 if sp.has_downsample:
-                    need.append(sp.ds_sites[0].id + ':out')
+                    need.append(sp.ds_sites[0].id + ':out:packed')
             packed_ok = all(n in scales for n in need)
         idx = 0
         for li, stage in enumerate(self.stage_specs):

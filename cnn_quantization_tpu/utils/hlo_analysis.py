@@ -197,18 +197,31 @@ def hbm_traffic_bytes(hlo_text: str) -> dict:
 
 
 def check_int8_residency(hlo_text: str, *, min_elems: int = 1 << 20,
-                         allow_prefixes: tuple[str, ...] = ()) -> list[str]:
+                         allow_prefixes: tuple[str, ...] = (),
+                         allow_outputs: tuple[tuple[str, int], ...] = ()
+                         ) -> list[str]:
     """Return the raw HLO lines of activation-sized (> ``min_elems``
     elements) top-level instruction outputs that are wider than 1 byte per
     element — i.e. f32/bf16/s32 tensors crossing a fusion boundary.
 
     An empty return means every large boundary tensor travels as (at most)
-    1-byte codes.  ``allow_prefixes`` whitelists instruction names that are
-    *expected* to be wide (the bf16 stem, the model input).  Used by
-    bench.py against the TPU-compiled serving module (emitted in the bench
-    artifact) and unit-tested on canned HLO in tests/test_hlo_regression.py.
+    1-byte codes.  Two whitelisting mechanisms:
+
+    * ``allow_outputs``: exact ``(dtype, element_count)`` signatures that
+      are *expected* to be wide — e.g. the f32 input's bf16 stem cast is
+      ``('bf16', batch*H*W*3)``.  Each signature exempts AT MOST ONE
+      instruction (first match wins): a second tensor with the same
+      signature — e.g. a requant convert reintroduced at a block boundary —
+      is still flagged.  This is the robust form (ADVICE r4: name-prefix
+      matching depends on XLA preserving JAX instruction names AND exempts
+      every convert, including the regressions the check exists to catch).
+    * ``allow_prefixes``: instruction-name prefixes (legacy/test hook).
+
+    Used by bench.py against the TPU-compiled serving module (emitted in the
+    bench artifact) and unit-tested in tests/test_hlo_regression.py.
     """
     offenders = []
+    budget = dict.fromkeys(allow_outputs, 1)
     for ins in parse_entry(hlo_text):
         if ins.op in _FREE_OPS or ins.name.startswith(tuple(allow_prefixes)):
             continue
@@ -218,6 +231,10 @@ def check_int8_residency(hlo_text: str, *, min_elems: int = 1 << 20,
                 continue  # VMEM/SMEM-resident: crosses no HBM boundary
             if (_nelem(dims) > min_elems
                     and _DTYPE_BYTES.get(dtype, 4) > 1):
+                sig = (dtype, _nelem(dims))
+                if budget.get(sig, 0) > 0:
+                    budget[sig] -= 1
+                    continue
                 offenders.append(ins.raw)
                 break
     return offenders

@@ -78,6 +78,21 @@ def test_residency_checker_flags_and_exempts():
     # whitelisting by name prefix
     assert check_int8_residency(bad, min_elems=1 << 20,
                                 allow_prefixes=('fusion.2',)) == []
+    # whitelisting by output signature (dtype, element count) — the robust
+    # form bench.py uses (ADVICE r4: name prefixes depend on XLA preserving
+    # JAX instruction names and would exempt ANY convert)
+    sig = ('bf16', 128 * 112 * 112 * 64)
+    assert check_int8_residency(bad, min_elems=1 << 20,
+                                allow_outputs=(sig,)) == []
+    # ...but each signature exempts AT MOST ONE instruction: a second wide
+    # tensor with the same signature (a reintroduced requant convert — the
+    # exact regression the check exists to catch) must still flag
+    worse = bad.replace(
+        '%fusion.3 = s8[128,56,56,64]{0,3,2,1:T(8,128)(4,1)}',
+        '%fusion.3 = bf16[128,112,112,64]{0,3,2,1:T(8,128)(2,1)}')
+    off2 = check_int8_residency(worse, min_elems=1 << 20,
+                                allow_outputs=(sig,))
+    assert len(off2) == 1 and 'fusion.3' in off2[0]
 
 
 def test_cpu_compiled_module_roundtrip():

@@ -42,6 +42,14 @@ def test_packed_scales_cover_trunk(served):
     conv_sites = [k for k in scales if k.startswith('conv')]
     assert len(conv_sites) >= 53
     assert any(k.endswith(':out') for k in scales)
+    # packed freeze emits BOTH grids: plain ':out' (int8, used by fallback
+    # archs) and ':out:packed' (int4 grid, required by the packed trunk)
+    outs = [k for k in scales if k.endswith(':out')]
+    for k in outs:
+        assert k + ':packed' in scales
+        # int4 grid step is (127/7)x coarser for the same calibrated clip
+        np.testing.assert_allclose(scales[k + ':packed'],
+                                   scales[k] * 127.0 / 7.0, rtol=1e-6)
 
 
 def test_packed_forward_matches_plain(served):
@@ -52,8 +60,16 @@ def test_packed_forward_matches_plain(served):
     53 sites on random weights even plain-jit vs plain-eager diverges ~25%
     — pure code-flip chaos, measured round 4.)"""
     eng, sp, scales, x = served
+    # the shipping plain path keeps ':out' identity codes on the full int8
+    # grid while the packed path stores them at ±7; for the bit-exactness
+    # comparison, hand the plain path the packed-grid scales (step
+    # absmax/7, its ±127 clip is then a no-op) so both paths compute the
+    # identical identity quantization
+    cmp_scales = {k: (scales[k + ':packed'] if k + ':packed' in scales
+                      else v)
+                  for k, v in scales.items()}
     fwd_plain = eng.make_forward(quantized='serving_int8',
-                                 act_scales=scales)
+                                 act_scales=cmp_scales)
     fwd_packed = eng.make_forward(quantized='serving_int8',
                                   act_scales=scales, packed=True)
     lp, _ = fwd_plain(sp, None, jnp.asarray(x))
@@ -70,14 +86,35 @@ def test_packed_forward_matches_plain(served):
 
 
 def test_packed_falls_back_without_scales(served):
-    """Missing trunk scales -> the model must silently use the plain path
-    (all-or-nothing guard in ResNet.__call__), not crash."""
+    """Missing packed ':out:packed' scales -> the model must silently use
+    the plain path (all-or-nothing guard in ResNet.__call__), not crash."""
     eng, sp, scales, x = served
-    partial = {k: v for k, v in scales.items() if not k.endswith(':out')}
+    partial = {k: v for k, v in scales.items()
+               if not k.endswith(':out:packed')}
     fwd = jax.jit(eng.make_forward(quantized='serving_int8',
                                    act_scales=partial, packed=True))
     logits, _ = fwd(sp, None, jnp.asarray(x))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_plain_frozen_scales_never_engage_packed(served):
+    """Provenance guard (ADVICE r4 medium): make_forward(packed=True) with
+    scales frozen packed=False must produce the IDENTICAL graph to the plain
+    path — the ':out:packed' keys the packed trunk requires don't exist, so
+    the all-or-nothing guard falls back instead of running the ±7 Pallas
+    epilogue on int8-grid ':out' scales (silently crushed residuals)."""
+    eng, sp, _scales, x = served
+    rng = np.random.RandomState(3)
+    cal = [(rng.rand(2, 64, 64, 3).astype(np.float32), np.zeros(2, np.int32))]
+    plain_scales = eng.freeze_serving_scales(sp, cal, packed=False)
+    assert not any(k.endswith(':out:packed') for k in plain_scales)
+    la, _ = jax.jit(eng.make_forward(quantized='serving_int8',
+                                     act_scales=plain_scales))(
+        sp, None, jnp.asarray(x))
+    lb, _ = jax.jit(eng.make_forward(quantized='serving_int8',
+                                     act_scales=plain_scales, packed=True))(
+        sp, None, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
 def test_basicblock_arch_ignores_packed():
