@@ -175,6 +175,47 @@ def bench(arch='resnet50', batch=128, dtype='bfloat16'):
     return out
 
 
+def _serving_spread(res, reps=3):
+    """Re-time the primary serving path ``reps`` times (fresh timing loops,
+    same executable) and report min/median/max — the run-to-run variance
+    band as an ARTIFACT (VERDICT r4 task 7; README claims previously leaned
+    on a prose-only band)."""
+    eng8, sp8, scales = res['engines'][:3]
+    fwd_s = eng8.make_forward(quantized='serving_int8', act_scales=scales)
+    batch = int(os.environ.get('BENCH_BATCH', '128'))
+    images = _images(batch)
+    ips = sorted(batch / _timed_scan(lambda p, im: fwd_s(p, None, im)[0],
+                                     sp8, images) for _ in range(reps))
+    return {'min': round(ips[0], 1), 'median': round(ips[len(ips) // 2], 1),
+            'max': round(ips[-1], 1)}
+
+
+def _mobilenet_serving(batch):
+    """True-int8 serving throughput on MobileNet-v2 (depthwise trunk,
+    per-channel frozen activation scales at the depthwise sites) — the
+    depthwise serving row VERDICT r4 task 4 asks for."""
+    import jax
+    import jax.numpy as jnp
+    from cnn_quantization_tpu.models import build_model
+    from cnn_quantization_tpu.engine import (QuantEngine, QuantPolicy,
+                                             TapContext)
+    model, meta = build_model('mobilenet_v2')
+    x0 = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, x0, TapContext())['params'])(
+        jax.random.PRNGKey(0))
+    eng = QuantEngine(model, QuantPolicy(qtype='int8', qweight='int8',
+                                         arch='mobilenet_v2'), meta)
+    sp = eng.prepare_serving_params(eng.quantize_params(params))
+    images = _images(batch, seed=1)
+    cal = [(np.asarray(images[:16]), np.zeros(16, np.int32))]
+    scales = eng.freeze_serving_scales(sp, cal)
+    n_vec = sum(1 for v in scales.values() if np.ndim(v) == 1)
+    fwd = eng.make_forward(quantized='serving_int8', act_scales=scales)
+    t = _timed_scan(lambda p, im: fwd(p, None, im)[0], sp, images)
+    return {'mobilenet_serving_images_per_sec': round(batch / t, 2),
+            'mobilenet_per_channel_act_sites': n_vec}
+
+
 def _batch_sweep(res, batches):
     """Re-time the primary serving path at other batch sizes (same frozen
     scales — calibration is batch-independent)."""
@@ -282,6 +323,14 @@ def main():
         sweep = _batch_sweep(r, [64, 256])
         sweep[str(batch)] = round(ips_s, 2)
         try:
+            spread = _serving_spread(r)
+        except Exception as e:  # noqa: BLE001
+            spread = {'error': f'{type(e).__name__}: {e}'}
+        try:
+            mob = _mobilenet_serving(batch)
+        except Exception as e:  # noqa: BLE001
+            mob = {'mobilenet_serving_error': f'{type(e).__name__}: {e}'}
+        try:
             smoke = _stochastic_smoke()
         except Exception as e:  # noqa: BLE001
             smoke = {'pallas_stochastic_ok': False,
@@ -311,6 +360,8 @@ def main():
             'w4a4_packed_mfu_ceiling_mem': round(rep4.mem_roofline_mfu, 4),
             'int8_resident_offenders': r['int8_resident_offenders'],
             'batch_sweep': sweep,
+            'serving_ips_spread': spread,
+            **mob,
             **smoke,
         }))
     except Exception as e:  # noqa: BLE001 — bench must always emit a line

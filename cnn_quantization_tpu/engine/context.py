@@ -104,9 +104,26 @@ class ServingInt8Context(TapContext):
     def record_scale(self, site_id: str, scale):
         self.recorded[site_id] = scale
 
-    def record_input_stats(self, site_id: str, xf32):
-        """Calibration-time input statistics for scale freezing."""
+    def record_input_stats(self, site_id: str, xf32,
+                           per_channel: bool = False):
+        """Calibration-time input statistics for scale freezing.
+
+        ``per_channel=True`` (depthwise conv inputs, where the activation
+        scale factors out of the integer accumulation PER CHANNEL — each
+        output channel sums over exactly one input channel) records vector
+        stats over the channel axis; freeze_serving_scales then freezes a
+        per-channel scale vector for the site.  Reference anchor: the
+        per-channel activation machinery int_quantizer.py:409-451 (sim-side
+        pcq_a), here connected to the true-int deployment path."""
         if not self.calibrate:
+            return
+        if per_channel and xf32.ndim == 4:
+            absx = jnp.abs(xf32)
+            flat = absx.reshape(-1, absx.shape[-1])
+            self.recorded[site_id + '/absmax'] = jnp.max(flat, axis=0)
+            self.recorded[site_id + '/pq'] = jnp.percentile(
+                flat, self.percentile, axis=0)
+            self.recorded[site_id + '/b'] = jnp.mean(flat, axis=0)
             return
         absx = jnp.abs(xf32.reshape(-1))
         self.recorded[site_id + '/absmax'] = jnp.max(absx)

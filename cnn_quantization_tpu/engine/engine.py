@@ -252,8 +252,10 @@ class QuantEngine:
                 if '/' not in key:
                     continue
                 site_id, stat = key.rsplit('/', 1)
+                # scalar for per-tensor sites, a channel VECTOR for
+                # depthwise conv inputs (per-channel activation scales)
                 agg.setdefault(site_id, {}).setdefault(stat, []).append(
-                    float(np.asarray(v)))
+                    np.asarray(v, np.float64))
 
         frozen: dict[str, float] = {}
         for site_id, stats in agg.items():
@@ -270,17 +272,21 @@ class QuantEngine:
                     or site_id.endswith(':out')
                     else act_bits)
             qmax = 2.0 ** (bits - 1) - 1.0
-            absmax = max(stats['absmax'])
+            # all reductions are elementwise so per-channel (vector) stats
+            # freeze to per-channel scale vectors with the same mode logic
+            absmax = np.maximum.reduce(stats['absmax'])
             if mode == 'max':
                 clip = absmax
             elif mode == 'percentile':
-                clip = max(stats['pq'])
+                clip = np.maximum.reduce(stats['pq'])
             elif mode == 'aciq':
-                b = float(np.mean(stats['b']))
-                clip = min(ALPHA_LAPLACE[bits] * b, absmax)
+                b = np.mean(stats['b'], axis=0)
+                clip = np.minimum(ALPHA_LAPLACE[bits] * b, absmax)
             else:
                 raise ValueError(f'unknown serving calibration mode {mode!r}')
-            frozen[site_id] = max(clip / qmax, 1e-8)
+            val = np.maximum(clip / qmax, 1e-8)
+            frozen[site_id] = (float(val) if np.ndim(val) == 0
+                               else val.astype(np.float32))
             if packed and site_id.endswith(':out'):
                 # packed serving stores ':out' (downsample identity) codes on
                 # the act-bit grid inside the Pallas epilogue; the scale for
@@ -293,7 +299,7 @@ class QuantEngine:
                 # without packed=True can never engage the packed epilogue on
                 # an int8-grid scale (ADVICE r4 medium)
                 qmax_p = 2.0 ** (act_bits - 1) - 1.0
-                frozen[site_id + ':packed'] = max(clip / qmax_p, 1e-8)
+                frozen[site_id + ':packed'] = max(float(clip) / qmax_p, 1e-8)
         return frozen
 
     def freeze_qparams(self, stats, input_shape=None):

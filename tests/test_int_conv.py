@@ -139,3 +139,50 @@ def test_int8_conv_frozen_act_scale():
     clipped = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
                                    act_scale=scale / 4))
     assert np.isfinite(clipped).all()
+
+
+def test_int8_conv_depthwise_per_channel_act_scale():
+    """Per-channel activation scales on a depthwise conv (VERDICT r4 missing
+    #4): output channel c accumulates over input channel c only, so
+    acc[c] * a_scale[c] * w_scale[c] is EXACT integer arithmetic.  With
+    channel ranges spanning 4 orders of magnitude (the depthwise stress
+    case), a per-tensor scale starves the small channels to zero codes while
+    the per-channel vector keeps every channel at full int8 resolution."""
+    rng = np.random.RandomState(7)
+    c = 16
+    x = rng.randn(2, 12, 12, c).astype(np.float32)
+    x *= np.logspace(-2, 2, c, dtype=np.float32)  # heterogeneous channels
+    w = (rng.randn(3, 3, 1, c).astype(np.float32) * 0.1)
+    w_codes, w_scale = prepare_int8_weights(jnp.asarray(w))
+    w_deq = np.asarray(w_codes, np.float32) * np.asarray(w_scale)
+
+    scale_vec = jnp.asarray(np.abs(x).max(axis=(0, 1, 2)) / 127.0)
+    got = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                               strides=(1, 1), padding=(1, 1), groups=c,
+                               act_scale=scale_vec))
+    # exactness: equals conv(dequant(x at per-channel grid), dequant(w))
+    x_deq = (np.round(x / np.asarray(scale_vec)).clip(-127, 127)
+             * np.asarray(scale_vec)).astype(np.float32)
+    want = lax.conv_general_dilated(
+        jnp.asarray(x_deq), jnp.asarray(w_deq), (1, 1), ((1, 1), (1, 1)),
+        feature_group_count=c,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-5)
+
+    # accuracy: per-channel beats per-tensor by orders of magnitude here
+    ref = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w_deq), (1, 1), ((1, 1), (1, 1)),
+        feature_group_count=c, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    per_tensor = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                                      strides=(1, 1), padding=(1, 1),
+                                      groups=c))
+    refn = np.asarray(ref)
+    def chan_rel(a):
+        d = np.sqrt(((a - refn) ** 2).sum(axis=(0, 1, 2)))
+        return d / np.sqrt((refn ** 2).sum(axis=(0, 1, 2)))
+    # per-channel: every channel keeps full int8 resolution (worst channel
+    # ~1% = round noise); per-tensor: the small channels quantize to zero
+    # codes (worst channel 100% error)
+    assert chan_rel(got).max() < 0.05
+    assert chan_rel(per_tensor).max() > 0.9
+    assert chan_rel(per_tensor).max() > 10 * chan_rel(got).max()
