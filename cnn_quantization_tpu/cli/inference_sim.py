@@ -68,6 +68,11 @@ def build_parser():
                         'boundaries cross HBM two-codes-per-byte; falls '
                         'back to the plain serving path where not '
                         'applicable')
+    p.add_argument('--serving_packed_stages', default=None,
+                   help='comma list of ResNet stages (1-4) to Pallas-'
+                        'orchestrate under --serving_packed (default all); '
+                        'the XLA<->Pallas friction is per-stage — the '
+                        'round-5 ablation artifact was measured with this')
     p.add_argument('--shuffle', '-sh', action='store_true')
     p.add_argument('--stochastic', '-s', action='store_true', default=False,
                    help='stochastic rounding (Pallas PRNG path)')
@@ -310,9 +315,13 @@ def main(argv=None):
                 params_s, loader, mode=args.serving_cal,
                 percentile=args.serving_percentile,
                 packed=args.serving_packed)
+            packed_arg = args.serving_packed
+            if packed_arg and args.serving_packed_stages:
+                packed_arg = tuple(
+                    int(s) for s in args.serving_packed_stages.split(','))
             res = evaluate(engine, params_s, loader, stats=stats,
                            quantized='serving_int8', act_scales=scales,
-                           packed=args.serving_packed,
+                           packed=packed_arg,
                            subset=args.subset, print_freq=args.print_freq,
                            verbose=True)
         else:

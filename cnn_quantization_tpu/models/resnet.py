@@ -24,8 +24,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..engine.context import Site, TapContext
-from .layers import (QAvgPool, QBatchNorm, QConv, QLinear, QMaxPool, QTensor,
-                     SiteNamer, relu)
+from .layers import (PackedQTensor, QAvgPool, QBatchNorm, QConv, QLinear,
+                     QMaxPool, QTensor, SiteNamer, relu)
 
 
 def _dequant_identity(identity, dtype):
@@ -213,7 +213,14 @@ class ResNet(nn.Module):
         # int8-grid frozen scales can never engage the packed epilogue) —
         # else the model falls back to the plain int8-resident serving path
         # everywhere.
-        packed_ok = (getattr(ctx, 'packed', False) and self.fold_bn
+        # ctx.packed may be True (all stages) or a tuple of 1-based stage
+        # indices (e.g. (1,) = Pallas-orchestrate stage 1 only, stages 2-4
+        # stay on the plain int8-resident XLA path) — the XLA<->Pallas
+        # friction is per-stage, so the profitable zone is selectable.
+        pk = getattr(ctx, 'packed', False)
+        pk_stages = (tuple(pk) if isinstance(pk, (tuple, list))
+                     else ((1, 2, 3, 4) if pk else ()))
+        packed_ok = (bool(pk_stages) and self.fold_bn
                      and all(sp.bottleneck and sp.out_planes % 256 == 0
                              for sp in blocks))
         if packed_ok:
@@ -229,14 +236,27 @@ class ResNet(nn.Module):
         for li, stage in enumerate(self.stage_specs):
             for bi, spec in enumerate(stage):
                 block = Bottleneck if spec.bottleneck else BasicBlock
-                if packed_ok:
+                if packed_ok and (li + 1) in pk_stages:
                     nxt = blocks[idx + 1] if idx + 1 < len(blocks) else None
-                    out_spec = (('packed',
-                                 scales[nxt.conv_sites[0][0].id])
-                                if nxt is not None else None)
+                    if nxt is None:
+                        out_spec = None  # last block: float out to avgpool
+                    else:
+                        nxt_scale = scales[nxt.conv_sites[0][0].id]
+                        # boundary into a Pallas-orchestrated block crosses
+                        # HBM 4-bit packed; into a plain block, int8 codes
+                        # (the plain path's QTensor block input)
+                        nxt_stage = next(
+                            si + 1 for si, st in enumerate(self.stage_specs)
+                            for b in st if b is nxt)
+                        mode = ('packed' if nxt_stage in pk_stages
+                                else 'int8')
+                        out_spec = (mode, nxt_scale)
                     x = block(spec, name=f'layer{li + 1}_{bi}')(
                         x, ctx, out_spec=out_spec)
                 else:
+                    # packed->plain stage boundaries arrive as int8 codes
+                    # (out_spec 'int8' above), never as PackedQTensor
+                    assert not isinstance(x, PackedQTensor)
                     x = block(spec, name=f'layer{li + 1}_{bi}')(x, ctx)
                 idx += 1
         x = QAvgPool(x.shape[1], 1, site=self.avgpool_site, name='avgpool')(x, ctx)

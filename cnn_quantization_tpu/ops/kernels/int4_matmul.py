@@ -100,6 +100,64 @@ def _pack_bytes(cl, cr):
     return jnp.bitwise_or(l32, r32).astype(jnp.int8)
 
 
+def _epilogue(out, res_ref, scal_ref, o_ref, *, has_res: bool,
+              fuse_relu: bool, out_mode: str, out_qmax: float):
+    """Shared epilogue: (+residual) (+ReLU) (+requant) and the output
+    stores.  ``out`` is the f32 [TM, TN] dequantized accumulator.
+
+    NB: requant uses true division by the scale — bit-identical to the
+    plain serving path's jnp.round(x / scale), keeping the two paths
+    exactly equal eagerly (tests/test_packed_serving.py); multiply-by-
+    reciprocal flips round() boundary codes.
+
+    Group-structured modes (residual / packed output) iterate over the
+    TN // GROUP packing groups in the tile, so row-paired calls (TN = 512 =
+    two groups, see ``int4_matmul``) and plain TN == GROUP calls share one
+    code path.
+    """
+    os_ = scal_ref[0, 1]
+    if has_res or out_mode == 'packed':
+        ngroups = out.shape[1] // GROUP
+        if has_res:
+            r_lo, r_hi = _unpack_halves(res_ref[:])  # [TM, ngroups*HALF]
+            rs = scal_ref[0, 0]
+        for g in range(ngroups):
+            out_l = out[:, g * GROUP:g * GROUP + HALF]
+            out_r = out[:, g * GROUP + HALF:(g + 1) * GROUP]
+            if has_res:
+                out_l = out_l + r_lo[:, g * HALF:(g + 1) * HALF].astype(
+                    jnp.float32) * rs
+                out_r = out_r + r_hi[:, g * HALF:(g + 1) * HALF].astype(
+                    jnp.float32) * rs
+            if fuse_relu:
+                out_l = jnp.maximum(out_l, 0.0)
+                out_r = jnp.maximum(out_r, 0.0)
+            if out_mode == 'packed':
+                cl = jnp.clip(jnp.round(out_l / os_), -7, 7).astype(jnp.int8)
+                cr = jnp.clip(jnp.round(out_r / os_), -7, 7).astype(jnp.int8)
+                o_ref[:, g * HALF:(g + 1) * HALF] = _pack_bytes(cl, cr)
+            elif out_mode == 'int8':
+                o_ref[:, g * GROUP:g * GROUP + HALF] = jnp.clip(
+                    jnp.round(out_l / os_), -out_qmax, out_qmax
+                ).astype(jnp.int8)
+                o_ref[:, g * GROUP + HALF:(g + 1) * GROUP] = jnp.clip(
+                    jnp.round(out_r / os_), -out_qmax, out_qmax
+                ).astype(jnp.int8)
+            else:
+                o_ref[:, g * GROUP:g * GROUP + HALF] = out_l.astype(
+                    o_ref.dtype)
+                o_ref[:, g * GROUP + HALF:(g + 1) * GROUP] = out_r.astype(
+                    o_ref.dtype)
+        return
+    if fuse_relu:
+        out = jnp.maximum(out, 0.0)
+    if out_mode == 'int8':
+        o_ref[:] = jnp.clip(jnp.round(out / os_),
+                            -out_qmax, out_qmax).astype(jnp.int8)
+    else:
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
 def _kernel(a_ref, b_ref, alpha_ref, beta_ref, res_ref, scal_ref, o_ref,
             acc_ref, *, a_packed: bool, has_res: bool, fuse_relu: bool,
             out_mode: str, out_qmax: float):
@@ -126,44 +184,34 @@ def _kernel(a_ref, b_ref, alpha_ref, beta_ref, res_ref, scal_ref, o_ref,
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
-        # NB: requant uses true division by the scale — bit-identical to
-        # the plain serving path's jnp.round(x / scale), keeping the two
-        # paths exactly equal eagerly (tests/test_packed_serving.py);
-        # multiply-by-reciprocal flips round() boundary codes
-        os_ = scal_ref[0, 1]
         out = acc_ref[:].astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
-        if has_res or out_mode == 'packed':
-            # operate on group half-tiles (TN == GROUP enforced by caller)
-            out_l, out_r = out[:, :HALF], out[:, HALF:]
-            if has_res:
-                r_lo, r_hi = _unpack_halves(res_ref[:])
-                rs = scal_ref[0, 0]
-                out_l = out_l + r_lo.astype(jnp.float32) * rs
-                out_r = out_r + r_hi.astype(jnp.float32) * rs
-            if fuse_relu:
-                out_l = jnp.maximum(out_l, 0.0)
-                out_r = jnp.maximum(out_r, 0.0)
-            if out_mode == 'packed':
-                cl = jnp.clip(jnp.round(out_l / os_), -7, 7).astype(jnp.int8)
-                cr = jnp.clip(jnp.round(out_r / os_), -7, 7).astype(jnp.int8)
-                o_ref[:] = _pack_bytes(cl, cr)
-                return
-            if out_mode == 'int8':
-                o_ref[:, :HALF] = jnp.clip(jnp.round(out_l / os_),
-                                           -out_qmax, out_qmax).astype(jnp.int8)
-                o_ref[:, HALF:] = jnp.clip(jnp.round(out_r / os_),
-                                           -out_qmax, out_qmax).astype(jnp.int8)
-            else:
-                o_ref[:, :HALF] = out_l.astype(o_ref.dtype)
-                o_ref[:, HALF:] = out_r.astype(o_ref.dtype)
-            return
-        if fuse_relu:
-            out = jnp.maximum(out, 0.0)
-        if out_mode == 'int8':
-            o_ref[:] = jnp.clip(jnp.round(out / os_),
-                                -out_qmax, out_qmax).astype(jnp.int8)
-        else:
-            o_ref[:] = out.astype(o_ref.dtype)
+        _epilogue(out, res_ref, scal_ref, o_ref, has_res=has_res,
+                  fuse_relu=fuse_relu, out_mode=out_mode, out_qmax=out_qmax)
+
+
+def _kernel_1step(a_ref, b_ref, alpha_ref, beta_ref, res_ref, scal_ref,
+                  o_ref, *, a_packed: bool, has_res: bool, fuse_relu: bool,
+                  out_mode: str, out_qmax: float):
+    """Single-K-step variant: the whole contraction fits one tile, so skip
+    the int32 VMEM scratch accumulator and its read-modify-write — measured
+    ~25% faster on the shallow-K ResNet-50 stage-1 shapes (round 5)."""
+    if a_packed:
+        lo, hi = _unpack_halves(a_ref[:])
+        bb = b_ref[:]
+        half = bb.shape[0] // 2
+        acc = jax.lax.dot_general(
+            lo, bb[:half], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(
+            hi, bb[half:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        acc = jax.lax.dot_general(
+            a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
+    _epilogue(out, res_ref, scal_ref, o_ref, has_res=has_res,
+              fuse_relu=fuse_relu, out_mode=out_mode, out_qmax=out_qmax)
 
 
 def _pad_to(x, m, axis):
@@ -210,21 +258,48 @@ def int4_matmul(a, b, alpha, beta, *, residual=None, res_scale=None,
     if has_res or out_mode == 'packed':
         assert N % GROUP == 0, f'N={N} needs group alignment'
 
+    # Row pairing for lane-underfilled K (the stage-1 K=64 shapes): view
+    # A [M, K] as [M/2, 2K] (a row-major BITCAST — two spatial positions
+    # per vector row, zero data movement) and B as blockdiag(B, B), so the
+    # MXU contracts over 2K >= 128 full lanes.  Half the MACs hit
+    # structural zeros, but the lane fill doubles the useful rate — the
+    # paired conv3-s1 shape measured 344us vs 618us unpaired (round 5).
+    # All epilogue operands tile the same way ([M, N/2] residual bytes ->
+    # [M/2, N], also a bitcast), outputs reshape back identically, and
+    # every per-element epilogue op is unchanged -> bit-exact vs unpaired.
+    pair = 1
+    if not a_packed and K <= 64 and M % 2 == 0:
+        if not (has_res or out_mode == 'packed') or (2 * N) % GROUP == 0:
+            pair = 2
+    orig_M, orig_N = M, N
+    if pair == 2:
+        a = a.reshape(M // 2, 2 * K)
+        b2 = jnp.zeros((2 * K, 2 * N), b.dtype)
+        b = b2.at[:K, :N].set(b).at[K:, N:].set(b)
+        alpha = jnp.concatenate([alpha.reshape(-1)] * 2)
+        beta = jnp.concatenate([beta.reshape(-1)] * 2)
+        if has_res:
+            residual = residual.reshape(M // 2, N)
+        M, K, N = M // 2, 2 * K, 2 * N
+
     # Tile sizes.  K is never padded beyond 128-alignment when unpacked —
     # an XLA-level pad MATERIALIZES a full copy of A in HBM (measured 2-4x
-    # slowdown at the shallow stage-1 shapes).  Large TM amortizes
-    # per-program overhead on shallow-K tiles.
+    # slowdown at the shallow stage-1 shapes).
     if a_packed:
         TK = GROUP                       # one packing group per K step
     else:
         TK = K if K <= GROUP else GROUP  # shallow K: single unpadded step
-    TN = GROUP if (has_res or out_mode == 'packed' or N % GROUP == 0) \
-        else max(128, min(512, N))
-    # TM=512 measured best across the ResNet-50 serving shapes (round-4
-    # on-device sweep: conv3-s1 379us@512 vs 476@1024, conv1-s1 252@512 vs
-    # 436@1024 — smaller tiles pipeline DMA better than they cost in
-    # per-program overhead)
-    TM = tm if tm is not None else 512
+    if has_res or out_mode == 'packed':
+        TN = GROUP * (2 if pair == 2 else 1)
+    elif N % GROUP == 0:
+        TN = GROUP
+    else:
+        TN = max(128, min(512, N))
+    single_step = (TK >= K) if not a_packed else (K == GROUP)
+    # TM: 512 measured best for the multi-K-step path (round-4 sweep);
+    # 1024 best for the scratch-free single-step path (round-5 sweep:
+    # paired conv3 344us@1024 vs 381@512)
+    TM = tm if tm is not None else (1024 if single_step else 512)
     TKa = TK // 2 if a_packed else TK
     a_p = _pad_to(_pad_to(a, TM, 0), TKa, 1)
     b_p = _pad_to(_pad_to(b, TK, 0), TN, 1)
@@ -246,40 +321,78 @@ def int4_matmul(a, b, alpha, beta, *, residual=None, res_scale=None,
     TNo = TN // 2 if out_packed else TN
     Npo = Np // 2 if out_packed else Np
     odt = jnp.int8 if out_mode in ('int8', 'packed') else out_dtype
+    kw = dict(a_packed=a_packed, has_res=has_res, fuse_relu=fuse_relu,
+              out_mode=out_mode, out_qmax=float(out_qmax))
 
-    grid = (Mp // TM, Np // TN, Kp // TK)
-    out = pl.pallas_call(
-        functools.partial(_kernel, a_packed=a_packed, has_res=has_res,
-                          fuse_relu=fuse_relu, out_mode=out_mode,
-                          out_qmax=float(out_qmax)),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TM, TKa), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, TN // 2),
-                         (lambda i, j, k: (i, j)) if has_res
-                         else (lambda i, j, k: (0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((TM, TNo), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, Npo), odt),
-        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * Np * Kp,
-            bytes_accessed=int(Mp * Kp * (0.5 if a_packed else 1)
-                               + Kp * Np + Mp * Npo
-                               + (Mp * Np // 2 if has_res else 0)),
-            transcendentals=0),
-        interpret=interpret,
-    )(a_p, b_p, alpha_p, beta_p, res_p, scal)
-    return out[:M, :N // 2 if out_packed else N]
+    if single_step and Kp // TK == 1:
+        grid = (Mp // TM, Np // TN)
+        out = pl.pallas_call(
+            functools.partial(_kernel_1step, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, TKa), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TK, TN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TM, TN // 2),
+                             (lambda i, j: (i, j)) if has_res
+                             else (lambda i, j: (0, 0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, TNo), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, Npo), odt),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel', 'parallel')),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * Np * Kp,
+                bytes_accessed=int(Mp * Kp * (0.5 if a_packed else 1)
+                                   + Kp * Np + Mp * Npo
+                                   + (Mp * Np // 2 if has_res else 0)),
+                transcendentals=0),
+            interpret=interpret,
+        )(a_p, b_p, alpha_p, beta_p, res_p, scal)
+    else:
+        grid = (Mp // TM, Np // TN, Kp // TK)
+        out = pl.pallas_call(
+            functools.partial(_kernel, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, TKa), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TK, TN), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TM, TN // 2),
+                             (lambda i, j, k: (i, j)) if has_res
+                             else (lambda i, j, k: (0, 0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, TNo), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, Npo), odt),
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * Np * Kp,
+                bytes_accessed=int(Mp * Kp * (0.5 if a_packed else 1)
+                                   + Kp * Np + Mp * Npo
+                                   + (Mp * Np // 2 if has_res else 0)),
+                transcendentals=0),
+            interpret=interpret,
+        )(a_p, b_p, alpha_p, beta_p, res_p, scal)
+    out = out[:M, :N // 2 if out_packed else N]
+    if pair == 2:
+        out = out.reshape(orig_M,
+                          orig_N // 2 if out_packed else orig_N)
+    return out

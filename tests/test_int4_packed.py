@@ -123,3 +123,40 @@ def test_matmul_padding_edges():
                                  jnp.asarray(alpha), jnp.asarray(beta),
                                  a_packed=True))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_row_pairing_matches_unpaired():
+    """The K<=64 row-pairing fast path ([M,K] viewed as [M/2,2K] against
+    blockdiag(B,B), round 5) is an implementation detail: results must be
+    BIT-identical to the unpaired kernel (same per-element epilogue ops),
+    for every out_mode, with and without residual."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cnn_quantization_tpu.ops.kernels.int4_matmul import int4_matmul
+
+    rs = np.random.RandomState(11)
+    M, K, N = 64, 64, 256
+    a = jnp.asarray(rs.randint(-7, 8, (M, K)).astype(np.int8))
+    b = jnp.asarray(rs.randint(-7, 8, (K, N)).astype(np.int8))
+    alpha = jnp.asarray(rs.rand(N).astype(np.float32) * 1e-2)
+    beta = jnp.asarray(rs.randn(N).astype(np.float32))
+    res = jnp.asarray(rs.randint(-128, 128, (M, N // 2)).astype(np.int8))
+
+    for out_mode, with_res in [('f32', False), ('int8', False),
+                               ('packed', True), ('packed', False),
+                               ('int8', True)]:
+        kw = dict(out_scale=0.02, fuse_relu=True, out_mode=out_mode,
+                  out_qmax=7.0, interpret=True)
+        if with_res:
+            kw.update(residual=res, res_scale=0.013)
+        paired = int4_matmul(a, b, alpha, beta, **kw)
+        # odd M disables pairing -> compare against the unpaired kernel on
+        # the same even-M data by stacking an extra row then slicing
+        a3 = jnp.concatenate([a, a[:1]], axis=0)
+        kw3 = dict(kw)
+        if with_res:
+            kw3['residual'] = jnp.concatenate([res, res[:1]], axis=0)
+        unpaired = int4_matmul(a3, b, alpha, beta, **kw3)[:M]
+        np.testing.assert_array_equal(np.asarray(paired),
+                                      np.asarray(unpaired),
+                                      err_msg=f'{out_mode} res={with_res}')

@@ -162,3 +162,24 @@ def test_unfolded_bottleneck_arch_ignores_packed():
                                      act_scales=scales, packed=True))(
         sp, None, x)
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_packed_stage_selection(served):
+    """ctx.packed may be a tuple of 1-based stage indices: only those
+    stages run the Pallas orchestration, the rest use the plain int8-
+    resident path with int8 codes at the zone boundary (round-5 friction
+    ablation machinery; also reachable via --serving_packed_stages)."""
+    eng, sp, scales, x = served
+    for stages in [(1,), (2, 3), (4,)]:
+        fwd = jax.jit(eng.make_forward(quantized='serving_int8',
+                                       act_scales=scales, packed=stages))
+        logits, _ = fwd(sp, None, jnp.asarray(x))
+        assert np.isfinite(np.asarray(logits)).all(), stages
+    # full tuple == packed=True, identical graphs eagerly
+    fa = eng.make_forward(quantized='serving_int8', act_scales=scales,
+                          packed=True)
+    fb = eng.make_forward(quantized='serving_int8', act_scales=scales,
+                          packed=(1, 2, 3, 4))
+    la, _ = fa(sp, None, jnp.asarray(x))
+    lb, _ = fb(sp, None, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
