@@ -7,6 +7,7 @@ entropy.  Each must exit 0 and leave the expected artifact."""
 import json
 import os
 
+import numpy as np
 import pytest
 
 from cnn_quantization_tpu.cli.inference_sim import main
@@ -93,3 +94,23 @@ def test_cli_mid_tread_entropy(cli_env, capsys):
     assert 'Average bit rate' in out
     res = json.loads(out.strip().splitlines()[-1])
     assert 0.0 < res['avg_entropy'] <= 8.0
+
+
+def test_golden_repro_smoke(tmp_path, monkeypatch):
+    """The golden-number runbook (cli/golden_repro.py, VERDICT r4 task 8)
+    must run its sweep end to end on synthetic data — including a
+    collect->use two-phase config — and emit the comparison table, so
+    reference parity is one command the day weights + ImageNet exist."""
+    import json
+    monkeypatch.chdir(tmp_path)  # stats artifacts land in cwd
+    from cnn_quantization_tpu.cli.golden_repro import main
+    out = tmp_path / 'golden.json'
+    rc = main(['--smoke', '--out', str(out),
+               '--only', 'w4a4_naive', 'int4_aciq_layerwise'])
+    assert rc == 0
+    rows = json.loads(out.read_text())
+    assert [r['config'] for r in rows] == ['w4a4_naive',
+                                          'int4_aciq_layerwise']
+    for r in rows:
+        assert 'synthetic' in r['verdict']
+        assert np.isfinite(r['top1'])
