@@ -231,10 +231,10 @@ def _batch_sweep(res, batches):
 def _mxu_rate_probe():
     """Measured int8 MXU rate on a large GEMM — the driver-captured
     evidence for BASELINE.md's 'int kernels >= 80% of per-chip roofline'
-    target at the KERNEL level (round 4: 347 TOP/s = 88% of the 394 TOP/s
-    v5e int8 peak; the end-to-end model MFU is the weighted average with
-    the structurally MXU-unfriendly stem/stage-1 shapes — README roofline
-    section)."""
+    target at the KERNEL level (BENCH_r04: 349.5 TOP/s = 88.7% of the 394
+    TOP/s v5e int8 peak; the end-to-end model MFU is the weighted average
+    with the memory-ceiling-bound stem/stage-1 shapes — README roofline
+    section quotes this artifact value verbatim)."""
     import jax
     import jax.numpy as jnp
     from cnn_quantization_tpu.utils.profiling import device_peaks
