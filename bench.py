@@ -292,35 +292,96 @@ def _dma_probe():
     roofline verdicts quote `mfu_ceiling_mem_practical` (scaled by this
     probe) alongside the datasheet-based ceiling.  This is the artifact
     anchoring the per-op "at the memory ceiling" claims in README."""
+    import functools
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.randint(-127, 128, (128 * 56 * 56, 256))
                     .astype(np.int8))
-    nbytes = 2 * x.size  # read + write
+    nbytes = 2 * x.size  # read + write per step
+
+    # A Pallas stream copy: pallas_call is opaque to XLA fusion, so every
+    # scan step really reads and writes the 103MB tensor.  (Two XLA-level
+    # versions were folded away: sum(v + c) strength-reduced to
+    # sum(v) + c*n and read 1996 "GB/s"; an iterated elementwise map
+    # unrolled + fused into ONE kernel and read a negative slope.  Both
+    # caught by the dma_probe_sane bound below.)
+    def _copy_kernel(s_ref, a_ref, o_ref, psum_ref):
+        # add the loop-carried scalar IN the kernel (i32 then narrow —
+        # free relative to the stream), and emit a per-program partial sum
+        # so the NEXT step's scalar depends on EVERY block of this step's
+        # output — steps cannot overlap or fold (a scalar derived from one
+        # block let the scheduler pipeline steps and the probe read an
+        # insane 1324 GB/s)
+        blk = a_ref[:].astype(jnp.int32) + s_ref[0, 0]
+        o_ref[:] = blk.astype(jnp.int8)
+        # 8-row block (Mosaic sublane divisibility); row 0 holds the sum
+        psum_ref[:] = jnp.zeros_like(psum_ref)
+        psum_ref[0:1, :] = jnp.sum(blk, axis=0, keepdims=True)
+
+    @jax.jit
+    def pcopy(a, s):
+        tm = 512
+        out, psums = pl.pallas_call(
+            _copy_kernel, grid=(a.shape[0] // tm,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec((tm, a.shape[1]), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((tm, a.shape[1]), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, a.shape[1]), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype),
+                       jax.ShapeDtypeStruct((a.shape[0] // tm * 8,
+                                             a.shape[1]), jnp.int32)])(s, a)
+        return out, psums
 
     def make(S):
         @jax.jit
         def run(v):
-            def body(c, _):
-                out = v + c.astype(jnp.int8)
-                return jax.lax.rem(jnp.sum(out.astype(jnp.int32)), 2), None
-            o, _ = jax.lax.scan(body, jnp.int32(1), None, length=S)
-            return o
+            def body(carry, _):
+                c, s = carry
+                out, psums = pcopy(c, s)
+                s2 = jax.lax.rem(jnp.sum(psums), 2).reshape(1, 1)
+                return (out, s2), None
+            (o, _s), _ = jax.lax.scan(
+                body, (v, jnp.zeros((1, 1), jnp.int32)), None, length=S)
+            return jnp.sum(o[:8].astype(jnp.int32))
         return run
 
-    times = {}
-    for S in (4, 36):
-        run = make(S)
-        int(run(x)[()])
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            int(run(x)[()])
-            best = min(best, time.perf_counter() - t0)
-        times[S] = best
-    t = (times[36] - times[4]) / 32
-    return {'dma_copy_gbps': round(nbytes / t / 1e9, 1)}
+    runs = {S: make(S) for S in (4, 36)}
+    for S, run in runs.items():
+        int(run(x)[()])  # compile + warmup
+
+    def one_reading():
+        times = {}
+        for S, run in runs.items():
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(run(x)[()])
+                best = min(best, time.perf_counter() - t0)
+            times[S] = best
+        t = (times[36] - times[4]) / 32
+        return nbytes / t / 1e9
+
+    # RPC jitter occasionally corrupts a single slope reading (negative or
+    # above-datasheet rates observed); take the median of sane readings,
+    # retrying a few times
+    sane = []
+    for _ in range(5):
+        g = one_reading()
+        if 0 < g < 819:
+            sane.append(g)
+        if len(sane) >= 3:
+            break
+    if not sane:
+        return {'dma_copy_gbps': round(one_reading(), 1),
+                'dma_probe_sane': False}
+    return {'dma_copy_gbps': round(float(np.median(sane)), 1),
+            'dma_probe_sane': True}
 
 
 def _stochastic_smoke():
@@ -394,9 +455,10 @@ def main():
             smoke['mxu_probe_error'] = f'{type(e).__name__}: {e}'
         try:
             smoke.update(_dma_probe())
-            smoke['mfu_ceiling_mem_practical'] = round(
-                rep.mem_roofline_mfu * smoke['dma_copy_gbps'] * 1e9
-                / rep.peak_bw, 4)
+            if smoke.get('dma_probe_sane'):
+                smoke['mfu_ceiling_mem_practical'] = round(
+                    rep.mem_roofline_mfu * smoke['dma_copy_gbps'] * 1e9
+                    / rep.peak_bw, 4)
         except Exception as e:  # noqa: BLE001
             smoke['dma_probe_error'] = f'{type(e).__name__}: {e}'
         print(json.dumps({

@@ -12,7 +12,7 @@ reference parity is:
         --resnet50 r50.pth --vgg16 vgg16.pth
 
 (Checkpoints convert from torchvision on any machine that has it:
-``torch.save(torchvision.models.resnet50(weights='IMAENET1K_V1')
+``torch.save(torchvision.models.resnet50(weights='IMAGENET1K_V1')
 .state_dict(), 'r50.pth')`` — utils/torch_import.py does the pytree
 conversion + BN folding at load.)
 
@@ -66,7 +66,9 @@ NEEDS_STATS = {'w4a4_headline_offline_stats': ('-pcq_a',),
 
 
 def _run_cli(argv):
-    """Invoke the inference CLI in-process and parse its final JSON line."""
+    """Invoke the inference CLI in-process; returns (result_json,
+    real_data) — real_data=False when the CLI fell back to synthetic
+    batches (no verdict may be asserted on those numbers)."""
     from .inference_sim import main
     buf = io.StringIO()
 
@@ -78,11 +80,13 @@ def _run_cli(argv):
     with contextlib.redirect_stdout(Tee()):
         rc = main(argv)
     assert rc == 0, f'CLI failed ({rc}) for {argv}'
-    for line in reversed(buf.getvalue().strip().splitlines()):
+    text = buf.getvalue()
+    real_data = 'using synthetic data' not in text
+    for line in reversed(text.strip().splitlines()):
         line = line.strip()
         if line.startswith('{'):
-            return json.loads(line)
-    return {}
+            return json.loads(line), real_data
+    return {}, real_data
 
 
 def run_sweep(args):
@@ -101,18 +105,23 @@ def run_sweep(args):
         if weights:
             common += ['-w', weights]
         if name in NEEDS_STATS:
-            # phase 1: the reference's 32-image int8 collect pass
-            collect = ['-a', arch, '-b', '1', '--qtype', 'int8',
-                       '-sm', 'collect', '-ac', '-cs',
-                       str(args.cal_set_size)] + \
-                list(NEEDS_STATS[name]) + common
+            # phase 1: the reference's 32-image int8 collect pass.  Config
+            # flags come AFTER the common ones so the batch-1 protocol
+            # (and vgg's verbatim '-b 32') survive argparse's last-wins.
+            collect = common + ['-a', arch, '-b', '1', '--qtype', 'int8',
+                                '-sm', 'collect', '-ac', '-cs',
+                                str(args.cal_set_size)] + \
+                list(NEEDS_STATS[name])
             _run_cli(collect)
-        res = _run_cli(build(args) + common)
+        res, real_data = _run_cli(common + build(args))
         got1 = res.get('top1', float('nan'))
         got5 = res.get('top5', float('nan'))
-        realistic = bool(weights) and not args.smoke
+        realistic = bool(weights) and real_data and not args.smoke
         verdict = ('PASS' if abs(got1 - want1) <= args.tol else 'FAIL') \
             if realistic else 'ran (synthetic/smoke: accuracy not meaningful)'
+        if weights and not real_data and not args.smoke:
+            verdict = 'ran (ImageNet NOT FOUND at --data; synthetic ' \
+                      'fallback, no verdict)'
         rows.append({'config': name, 'arch': arch, 'top1': got1,
                      'top5': got5, 'ref_top1': want1, 'ref_top5': want5,
                      'verdict': verdict,
@@ -147,6 +156,10 @@ def main(argv=None):
         args.cal_set_size = 2
 
     rows = run_sweep(args)
+    if not rows:
+        names = ', '.join(n for n, *_ in GOLDEN)
+        print(f'no configs matched --only {args.only}; known: {names}')
+        return 2
     w = max(len(r['config']) for r in rows) + 2
     print('\n=== golden-number comparison (reference README.md:50-141) ===')
     print(f'{"config":{w}s} {"top1":>8s} {"ref":>8s} {"top5":>8s} '

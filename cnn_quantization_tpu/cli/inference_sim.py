@@ -317,8 +317,15 @@ def main(argv=None):
                 packed=args.serving_packed)
             packed_arg = args.serving_packed
             if packed_arg and args.serving_packed_stages:
-                packed_arg = tuple(
-                    int(s) for s in args.serving_packed_stages.split(','))
+                stages = tuple(
+                    int(s) for s in args.serving_packed_stages.split(',')
+                    if s.strip())
+                bad = [s for s in stages if not 1 <= s <= 4]
+                if bad or not stages:
+                    raise SystemExit(
+                        f'--serving_packed_stages must list stages 1-4, '
+                        f'got {args.serving_packed_stages!r}')
+                packed_arg = stages
             res = evaluate(engine, params_s, loader, stats=stats,
                            quantized='serving_int8', act_scales=scales,
                            packed=packed_arg,

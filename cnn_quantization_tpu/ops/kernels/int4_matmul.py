@@ -269,7 +269,11 @@ def int4_matmul(a, b, alpha, beta, *, residual=None, res_scale=None,
     # every per-element epilogue op is unchanged -> bit-exact vs unpaired.
     pair = 1
     if not a_packed and K <= 64 and M % 2 == 0:
-        if not (has_res or out_mode == 'packed') or (2 * N) % GROUP == 0:
+        # group-structured epilogues stay consistent under pairing only
+        # when each original position's N spans whole groups (paired group
+        # g then holds exactly one position's channels and its residual
+        # bytes land at res2[:, g*HALF:(g+1)*HALF])
+        if not (has_res or out_mode == 'packed') or N % GROUP == 0:
             pair = 2
     orig_M, orig_N = M, N
     if pair == 2:
@@ -324,73 +328,51 @@ def int4_matmul(a, b, alpha, beta, *, residual=None, res_scale=None,
     kw = dict(a_packed=a_packed, has_res=has_res, fuse_relu=fuse_relu,
               out_mode=out_mode, out_qmax=float(out_qmax))
 
+    # single- vs multi-K-step differ only in grid arity, index maps, the
+    # kernel body, and the scratch accumulator; everything else is shared
     if single_step and Kp // TK == 1:
         grid = (Mp // TM, Np // TN)
-        out = pl.pallas_call(
-            functools.partial(_kernel_1step, **kw),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((TM, TKa), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TK, TN), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TN), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TN), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TM, TN // 2),
-                             (lambda i, j: (i, j)) if has_res
-                             else (lambda i, j: (0, 0)),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((TM, TNo), lambda i, j: (i, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Mp, Npo), odt),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=('parallel', 'parallel')),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * Mp * Np * Kp,
-                bytes_accessed=int(Mp * Kp * (0.5 if a_packed else 1)
-                                   + Kp * Np + Mp * Npo
-                                   + (Mp * Np // 2 if has_res else 0)),
-                transcendentals=0),
-            interpret=interpret,
-        )(a_p, b_p, alpha_p, beta_p, res_p, scal)
+        im_a = lambda i, j: (i, 0)           # noqa: E731
+        im_b = lambda i, j: (0, j)           # noqa: E731
+        im_n = lambda i, j: (0, j)           # noqa: E731
+        im_o = lambda i, j: (i, j)           # noqa: E731
+        im_res = im_o if has_res else (lambda i, j: (0, 0))
+        kernel_fn = functools.partial(_kernel_1step, **kw)
+        scratch = []
+        dims = ('parallel', 'parallel')
     else:
         grid = (Mp // TM, Np // TN, Kp // TK)
-        out = pl.pallas_call(
-            functools.partial(_kernel, **kw),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((TM, TKa), lambda i, j, k: (i, k),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TK, TN), lambda i, j, k: (k, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TM, TN // 2),
-                             (lambda i, j, k: (i, j)) if has_res
-                             else (lambda i, j, k: (0, 0)),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((TM, TNo), lambda i, j, k: (i, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Mp, Npo), odt),
-            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=('parallel', 'parallel', 'arbitrary')),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * Mp * Np * Kp,
-                bytes_accessed=int(Mp * Kp * (0.5 if a_packed else 1)
-                                   + Kp * Np + Mp * Npo
-                                   + (Mp * Np // 2 if has_res else 0)),
-                transcendentals=0),
-            interpret=interpret,
-        )(a_p, b_p, alpha_p, beta_p, res_p, scal)
+        im_a = lambda i, j, k: (i, k)        # noqa: E731
+        im_b = lambda i, j, k: (k, j)        # noqa: E731
+        im_n = lambda i, j, k: (0, j)        # noqa: E731
+        im_o = lambda i, j, k: (i, j)        # noqa: E731
+        im_res = im_o if has_res else (lambda i, j, k: (0, 0))
+        kernel_fn = functools.partial(_kernel, **kw)
+        scratch = [pltpu.VMEM((TM, TN), jnp.int32)]
+        dims = ('parallel', 'parallel', 'arbitrary')
+    out = pl.pallas_call(
+        kernel_fn,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TKa), im_a, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, TN), im_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), im_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), im_n, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TN // 2), im_res, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TNo), im_o, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Npo), odt),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=dims),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=int(Mp * Kp * (0.5 if a_packed else 1)
+                               + Kp * Np + Mp * Npo
+                               + (Mp * Np // 2 if has_res else 0)),
+            transcendentals=0),
+        interpret=interpret,
+    )(a_p, b_p, alpha_p, beta_p, res_p, scal)
     out = out[:M, :N // 2 if out_packed else N]
     if pair == 2:
         out = out.reshape(orig_M,
