@@ -19,6 +19,7 @@ standard JAX pattern for auxiliary outputs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Mapping
 
 import jax.numpy as jnp
@@ -104,26 +105,32 @@ class ServingInt8Context(TapContext):
     def record_scale(self, site_id: str, scale):
         self.recorded[site_id] = scale
 
-    def record_input_stats(self, site_id: str, xf32,
-                           per_channel: bool = False):
+    def record_input_stats(self, site_id: str, xf32, groups: int = 1):
         """Calibration-time input statistics for scale freezing.
 
-        ``per_channel=True`` (depthwise conv inputs, where the activation
-        scale factors out of the integer accumulation PER CHANNEL — each
-        output channel sums over exactly one input channel) records vector
-        stats over the channel axis; freeze_serving_scales then freezes a
-        per-channel scale vector for the site.  Reference anchor: the
-        per-channel activation machinery int_quantizer.py:409-451 (sim-side
-        pcq_a), here connected to the true-int deployment path."""
+        ``groups > 1`` (grouped/depthwise conv inputs, where the activation
+        scale factors out of the integer accumulation PER GROUP — each
+        output channel sums only over its group's input channels) records
+        group-constant per-channel VECTOR stats: per-group clip statistics
+        repeated over each group's channels, so freeze_serving_scales
+        freezes a [in_ch] scale vector that is constant within groups (the
+        invariant the int8_conv epilogue mapping relies on).  Depthwise is
+        the fully per-channel case (groups == in_ch).  Reference anchor:
+        the per-channel activation machinery int_quantizer.py:409-451
+        (sim-side pcq_a), here connected to the true-int deployment path."""
         if not self.calibrate:
             return
-        if per_channel and xf32.ndim == 4:
-            absx = jnp.abs(xf32)
-            flat = absx.reshape(-1, absx.shape[-1])
-            self.recorded[site_id + '/absmax'] = jnp.max(flat, axis=0)
-            self.recorded[site_id + '/pq'] = jnp.percentile(
-                flat, self.percentile, axis=0)
-            self.recorded[site_id + '/b'] = jnp.mean(flat, axis=0)
+        if groups > 1 and xf32.ndim == 4:
+            c = xf32.shape[-1]
+            # [elems, groups, ch/group]: reduce over everything but group
+            gabs = jnp.abs(xf32).reshape(-1, groups, c // groups)
+            rep = functools.partial(jnp.repeat, repeats=c // groups)
+            self.recorded[site_id + '/absmax'] = rep(
+                jnp.max(gabs, axis=(0, 2)))
+            self.recorded[site_id + '/pq'] = rep(jnp.percentile(
+                gabs.transpose(1, 0, 2).reshape(groups, -1),
+                self.percentile, axis=1))
+            self.recorded[site_id + '/b'] = rep(jnp.mean(gabs, axis=(0, 2)))
             return
         absx = jnp.abs(xf32.reshape(-1))
         self.recorded[site_id + '/absmax'] = jnp.max(absx)

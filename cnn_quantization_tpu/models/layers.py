@@ -201,15 +201,16 @@ class QConv(nn.Module):
             assert residual is None, (
                 'residual fusion requires the packed 1x1 Pallas path '
                 '(prepare_serving_params + frozen scales)')
-            # depthwise (channel-multiplier-1) convs admit PER-CHANNEL
-            # activation scales in true-int arithmetic: output channel c
-            # accumulates over input channel c only, so
-            # acc[c] * a_scale[c] * w_scale[c] is exact — the known fix for
-            # MobileNet-family int8 sensitivity (per-tensor scales compound
-            # across the depthwise stacks).  Regular/grouped convs sum over
-            # channels with one shared scale and stay per-tensor.
-            depthwise = (self.groups > 1 and self.groups == in_ch
-                         and self.features == in_ch)
+            # grouped convs admit PER-GROUP activation scales in true-int
+            # arithmetic: output channel o accumulates only over its
+            # group's inputs, so acc[o] * gs[group_of(o)] * w_scale[o] is
+            # exact (int8_conv does the mapping).  Depthwise (groups ==
+            # channels) is the fully per-channel case — the known fix for
+            # MobileNet-family int8 sensitivity; ResNeXt/ShuffleNet
+            # grouped convs get the per-group form.  Regular convs stay
+            # per-tensor.
+            per_group = (self.groups > 1 and in_ch % self.groups == 0
+                         and self.features % self.groups == 0)
             if prequant:
                 act_scale = pre_scale
             else:
@@ -220,14 +221,20 @@ class QConv(nn.Module):
                     # dynamic abs-max; record so calibration can freeze it
                     xf32 = x.astype(jnp.float32)
                     qmax = 2.0 ** (act_bits - 1) - 1.0
-                    amax = (jnp.max(jnp.abs(xf32), axis=(0, 1, 2))
-                            if depthwise else jnp.max(jnp.abs(xf32)))
+                    if per_group:
+                        per = in_ch // self.groups
+                        amax = jnp.repeat(jnp.max(
+                            jnp.abs(xf32).reshape(-1, self.groups, per),
+                            axis=(0, 2)), per)
+                    else:
+                        amax = jnp.max(jnp.abs(xf32))
                     act_scale = jnp.maximum(amax / qmax, 1e-8)
                     if self.site is not None and hasattr(ctx, 'record_scale'):
                         ctx.record_scale(self.site.id, act_scale)
                         if getattr(ctx, 'calibrate', False):
-                            ctx.record_input_stats(self.site.id, xf32,
-                                                   per_channel=depthwise)
+                            ctx.record_input_stats(
+                                self.site.id, xf32,
+                                groups=self.groups if per_group else 1)
             if stem_s2d:
                 # the [4,4,12,O] kernel is the s2d rewrite of a 7x7 stride-2
                 # pad-3 stem ONLY — fail loudly on any other declared conv

@@ -74,6 +74,19 @@ def int8_conv(x, w_codes, w_scale, bias=None, *, kernel_size=None,
     """
     del kernel_size, interpret  # derived from w_codes / native path
     x_q, x_scale = _quantize_act(x, act_bits, act_scale)
+    if x_scale.ndim == 1:
+        # per-channel activation scale vector [in_ch], constant within each
+        # conv group (depthwise = groups==in_ch, the fully per-channel
+        # case).  The scale factors out of the integer accumulation PER
+        # GROUP: output channel o sums only over its group's inputs, so the
+        # epilogue needs the per-OUTPUT-channel scale gs[group_of(o)].
+        in_total = w_codes.shape[2] * groups
+        features = w_codes.shape[3]
+        assert x_scale.shape[0] == in_total, (x_scale.shape, in_total)
+        gs = x_scale.reshape(groups, in_total // groups)[:, 0]
+        x_scale_out = jnp.repeat(gs, features // groups)
+    else:
+        x_scale_out = x_scale
     pad = ((padding[0], padding[0]), (padding[1], padding[1]))
     # Note: lowering 1x1 convs as explicit int8 GEMMs (reshape + dot_general)
     # was measured and rejected — isolated, the stage-4 expansion shape
@@ -86,7 +99,8 @@ def int8_conv(x, w_codes, w_scale, bias=None, *, kernel_size=None,
         feature_group_count=groups,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * (x_scale * w_scale).astype(jnp.float32)
+    out = acc.astype(jnp.float32) * (x_scale_out
+                                     * w_scale).astype(jnp.float32)
     if bias is not None:
         out = out + jnp.asarray(bias, jnp.float32)
     if fuse_relu:

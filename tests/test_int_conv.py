@@ -186,3 +186,47 @@ def test_int8_conv_depthwise_per_channel_act_scale():
     assert chan_rel(got).max() < 0.05
     assert chan_rel(per_tensor).max() > 0.9
     assert chan_rel(per_tensor).max() > 10 * chan_rel(got).max()
+
+
+def test_int8_conv_grouped_per_group_act_scale():
+    """Per-GROUP activation scales on a grouped conv (ResNeXt/ShuffleNet
+    case, round 5): output channel o accumulates only over its group's
+    inputs, so a group-constant scale vector factors out exactly.  The
+    int8_conv epilogue maps the [in_ch] group-constant vector to the
+    per-output-channel scale gs[group_of(o)]."""
+    rng = np.random.RandomState(8)
+    c, groups, feat = 24, 4, 32
+    per = c // groups
+    x = rng.randn(2, 10, 10, c).astype(np.float32)
+    x *= np.repeat(np.logspace(-1, 2, groups), per).astype(np.float32)
+    w = (rng.randn(3, 3, per, feat).astype(np.float32) * 0.1)
+    w_codes, w_scale = prepare_int8_weights(jnp.asarray(w))
+    w_deq = np.asarray(w_codes, np.float32) * np.asarray(w_scale)
+
+    gs = np.abs(x).reshape(-1, groups, per).max(axis=(0, 2)) / 127.0
+    scale_vec = jnp.asarray(np.repeat(gs, per).astype(np.float32))
+    got = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                               strides=(1, 1), padding=(1, 1), groups=groups,
+                               act_scale=scale_vec))
+    x_deq = (np.round(x / np.asarray(scale_vec)).clip(-127, 127)
+             * np.asarray(scale_vec)).astype(np.float32)
+    want = lax.conv_general_dilated(
+        jnp.asarray(x_deq), jnp.asarray(w_deq), (1, 1), ((1, 1), (1, 1)),
+        feature_group_count=groups,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # per-group keeps the small groups at full resolution; per-tensor
+    # starves them (same worst-channel criterion as the depthwise test)
+    ref = np.asarray(lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w_deq), (1, 1), ((1, 1), (1, 1)),
+        feature_group_count=groups,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')))
+    per_tensor = np.asarray(int8_conv(jnp.asarray(x), w_codes, w_scale,
+                                      strides=(1, 1), padding=(1, 1),
+                                      groups=groups))
+    def chan_rel(a):
+        d = np.sqrt(((a - ref) ** 2).sum(axis=(0, 1, 2)))
+        return d / np.sqrt((ref ** 2).sum(axis=(0, 1, 2)))
+    assert chan_rel(got).max() < 0.05
+    assert chan_rel(per_tensor).max() > 5 * chan_rel(got).max()

@@ -448,7 +448,7 @@ def test_serving_matches_f64_fake_quant_sim_per_layer(monkeypatch):
     ('densenet121', 64, 0.06),    # concat trunk, unfolded BN
     ('squeezenet1_0', 64, 0.06),  # fire modules
     ('alexnet', 96, 0.06),
-    ('shufflenet', 64, 0.10),     # channel shuffle + grouped convs
+    ('shufflenet', 64, 0.08),     # grouped convs (per-GROUP act scales)
 ])
 def test_serving_int8_zoo_family(arch, size, bound):
     """True-int8 serving across the remaining zoo families (VERDICT r4
