@@ -179,13 +179,17 @@ def _serving_spread(res, reps=3):
     """Re-time the primary serving path ``reps`` times (fresh timing loops,
     same executable) and report min/median/max — the run-to-run variance
     band as an ARTIFACT (VERDICT r4 task 7; README claims previously leaned
-    on a prose-only band)."""
+    on a prose-only band).  The primary measurement itself is included in
+    the band so ``value`` is always inside its own spread (the primary is
+    taken early/cold, the re-times late/warm — without inclusion they can
+    disagree by more than the re-time-only band)."""
     eng8, sp8, scales = res['engines'][:3]
     fwd_s = eng8.make_forward(quantized='serving_int8', act_scales=scales)
     batch = int(os.environ.get('BENCH_BATCH', '128'))
     images = _images(batch)
-    ips = sorted(batch / _timed_scan(lambda p, im: fwd_s(p, None, im)[0],
-                                     sp8, images) for _ in range(reps))
+    ips = sorted([batch / _timed_scan(lambda p, im: fwd_s(p, None, im)[0],
+                                      sp8, images) for _ in range(reps)]
+                 + [res['serving_ips']])
     return {'min': round(ips[0], 1), 'median': round(ips[len(ips) // 2], 1),
             'max': round(ips[-1], 1)}
 

@@ -114,3 +114,13 @@ def test_golden_repro_smoke(tmp_path, monkeypatch):
     for r in rows:
         assert 'synthetic' in r['verdict']
         assert np.isfinite(r['top1'])
+
+
+def test_serving_packed_stages_flag_validation(tmp_path, monkeypatch):
+    """--serving_packed_stages rejects out-of-range stages loudly instead of
+    silently measuring the plain path (round-5 review fix)."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match='stages 1-4'):
+        main(['-a', 'resnet50', '-b', '2', '--input_size', '64', '-ss', '2',
+              '--qtype', 'int4', '-qw', 'int4', '--serving_int8',
+              '--serving_packed', '--serving_packed_stages', '5'])
