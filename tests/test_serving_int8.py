@@ -483,3 +483,57 @@ def test_serving_int8_zoo_family(arch, size, bound):
     l_f, _ = fwd(sp, None, x)
     rel_f = float(jnp.linalg.norm(l_f - l_fp) / jnp.linalg.norm(l_fp))
     assert rel_f < bound, (arch, rel_f)
+
+
+def test_freeze_modes_produce_group_constant_vectors():
+    """All three serving calibration modes (max / percentile / aciq) handle
+    per-GROUP vector statistics elementwise (round 5): grouped-conv sites
+    freeze [in_ch] scale vectors that are constant within each group, with
+    the clipped modes never exceeding abs-max."""
+    import flax.linen as nn
+    from cnn_quantization_tpu.engine.context import Site
+    from cnn_quantization_tpu.engine.engine import ModelMeta
+    from cnn_quantization_tpu.models.layers import QConv
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x, ctx):
+            # in_ch==3 stem stays bf16; the grouped conv is the probe site
+            x = QConv(16, 3, 1, 1, site=Site(id='conv0_activation',
+                                             tag='activation'),
+                      name='c0')(x, ctx)
+            x = jnp.maximum(x, 0)
+            x = QConv(16, 3, 1, 1, groups=4,
+                      site=Site(id='conv1_activation', tag='activation'),
+                      name='c1')(x, ctx)
+            return jnp.mean(x, axis=(1, 2))
+
+    model = Toy()
+    x0 = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, TapContext())['params']
+    eng = QuantEngine(model, QuantPolicy(arch='toy', qtype='int8',
+                                         qweight='int8'),
+                      ModelMeta(arch='toy', input_size=16))
+    sp = eng.prepare_serving_params(params)
+    rng = np.random.RandomState(2)
+    cal = [(rng.rand(2, 16, 16, 3).astype(np.float32) *
+            np.array([1, 1, 1], np.float32), np.zeros(2, np.int32))]
+    frozen = {m: eng.freeze_serving_scales(sp, cal, mode=m)
+              for m in ('max', 'percentile', 'aciq')}
+    for m, scales in frozen.items():
+        v = scales['conv1_activation']
+        assert np.ndim(v) == 1 and v.shape == (16,), (m, v)
+        # group-constant: 4 groups of 4 channels
+        g = np.asarray(v).reshape(4, 4)
+        assert (g == g[:, :1]).all(), (m, v)
+    # clipped modes never exceed the abs-max grid
+    assert (np.asarray(frozen['percentile']['conv1_activation'])
+            <= np.asarray(frozen['max']['conv1_activation']) + 1e-12).all()
+    assert (np.asarray(frozen['aciq']['conv1_activation'])
+            <= np.asarray(frozen['max']['conv1_activation']) + 1e-12).all()
+    # and each frozen-scale forward runs finite
+    for m, scales in frozen.items():
+        fwd = jax.jit(eng.make_forward(quantized='serving_int8',
+                                       act_scales=scales))
+        out, _ = fwd(sp, None, jnp.asarray(cal[0][0]))
+        assert np.isfinite(np.asarray(out)).all(), m
